@@ -1,0 +1,261 @@
+"""Avocodo discriminators: CoMBD (collaborative multi-band) + SBD (sub-band).
+
+Behavioral reference: /root/reference/Avocodo.py:13-418. Real/fake are run
+concatenated on the batch axis through each block and split afterwards
+(:61-75, :286-299) — kept here since it batches the convs (good for MXU
+utilization). When the fake batch is larger (CoMBD multi-scale inputs), the
+real logits/fmaps are tiled 2x to align (:69, :75).
+
+Channels-last [B, T, C] throughout.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from vits_tpu.models.modules import Conv1d
+from vits_tpu.ops.pqmf import PQMF
+
+
+def _get_padding(k: int, d: int = 1) -> int:
+    return (k * d - d) // 2
+
+
+class CoMBDBlock(nn.Module):
+    """Stacked grouped strided convs + projection (reference Avocodo.py:13-75)."""
+
+    h_u: Sequence[int]
+    d_k: Sequence[int]
+    d_s: Sequence[int]
+    d_d: Sequence[int]
+    d_g: Sequence[int]
+    d_p: Sequence[int]
+    op_f: int
+    op_k: int
+    op_g: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, b_y: int, b_y_hat: int):
+        fmap_r, fmap_g = [], []
+        for i, (f, k, s, d, g_, p) in enumerate(
+            zip(self.h_u, self.d_k, self.d_s, self.d_d, self.d_g, self.d_p)
+        ):
+            x = Conv1d(
+                f, k, stride=s, dilation=d, groups=g_, padding=p,
+                use_weight_norm=True, name=f"conv_{i}",
+            )(x)
+            x = jax.nn.leaky_relu(x, 0.2)
+            f_r, f_g = x[:b_y], x[b_y:]
+            fmap_r.append(jnp.tile(f_r, (2, 1, 1)) if b_y < b_y_hat else f_r)
+            fmap_g.append(f_g)
+        x = Conv1d(
+            self.op_f, self.op_k, groups=self.op_g, padding=0,
+            use_weight_norm=True, name="projection",
+        )(x)
+        x_r, x_g = x[:b_y], x[b_y:]
+        x_r = jnp.tile(x_r, (2, 1, 1)) if b_y < b_y_hat else x_r
+        return x_r, x_g, fmap_r, fmap_g
+
+
+_COMBD_H_U = [16, 64, 256, 1024, 1024, 1024]
+_COMBD_D_K = [[7, 11, 11, 11, 11, 5], [11, 21, 21, 21, 21, 5], [15, 41, 41, 41, 41, 5]]
+_COMBD_D_S = [1, 1, 4, 4, 4, 1]
+_COMBD_D_D = [1, 1, 1, 1, 1, 1]
+_COMBD_D_G = [1, 4, 16, 64, 256, 1]
+_COMBD_D_P = [[3, 5, 5, 5, 5, 2], [5, 10, 10, 10, 10, 2], [7, 20, 20, 20, 20, 2]]
+
+
+class CoMBD(nn.Module):
+    """3 blocks over hierarchical scales with PQMF multi-scale projections of
+    the final output (reference Avocodo.py:78-190)."""
+
+    def setup(self):
+        self.pqmf_lv2 = PQMF(4, 192, 0.13, 10.0)
+        self.pqmf_lv1 = PQMF(2, 256, 0.25, 10.0)
+        self.blocks = [
+            CoMBDBlock(
+                _COMBD_H_U, _COMBD_D_K[i], _COMBD_D_S, _COMBD_D_D,
+                _COMBD_D_G, _COMBD_D_P[i], op_f=1, op_k=3, op_g=1,
+                name=f"block_{i}",
+            )
+            for i in range(3)
+        ]
+
+    def __call__(self, ys, ys_hat):
+        # multi-scale projections of the final fake output (reference :147-171)
+        multi_scale_hat = [
+            self.pqmf_lv2.analysis(ys_hat[-1])[..., :1],
+            self.pqmf_lv1.analysis(ys_hat[-1])[..., :1],
+        ]
+        inputs_fake = [
+            jnp.concatenate([y_hat, multi_scale_hat[i]], axis=0)
+            if i != len(ys_hat) - 1
+            else y_hat
+            for i, y_hat in enumerate(ys_hat)
+        ]
+        outs_real, outs_fake, fmaps_real, fmaps_fake = [], [], [], []
+        for y, y_hat, block in zip(ys, inputs_fake, self.blocks):
+            b_y, b_y_hat = y.shape[0], y_hat.shape[0]
+            cat_y = jnp.concatenate([y, y_hat], axis=0)
+            o_r, o_g, f_r, f_g = block(cat_y, b_y, b_y_hat)
+            outs_real.append(o_r)
+            outs_fake.append(o_g)
+            fmaps_real.append(f_r)
+            fmaps_fake.append(f_g)
+        return outs_real, outs_fake, fmaps_real, fmaps_fake
+
+
+class MDC(nn.Module):
+    """Multi-dilated conv: sum of dilation branches + strided post conv
+    (reference Avocodo.py:193-244). Note the reference's post-conv padding
+    uses the *last* branch kernel/dilation — replicated."""
+
+    out_channels: int
+    strides: int
+    kernel_size: Sequence[int]
+    dilations: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        out = None
+        for i, (k, d) in enumerate(zip(self.kernel_size, self.dilations)):
+            y = Conv1d(
+                self.out_channels, k, dilation=d, padding=_get_padding(k, d),
+                use_weight_norm=True, name=f"dconv_{i}",
+            )(x)
+            y = jax.nn.leaky_relu(y, 0.2)
+            out = y if out is None else out + y
+        x = Conv1d(
+            self.out_channels, 3, stride=self.strides,
+            padding=_get_padding(self.kernel_size[-1], self.dilations[-1]),
+            use_weight_norm=True, name="post",
+        )(out)
+        return jax.nn.leaky_relu(x, 0.2)
+
+
+class SBDBlock(nn.Module):
+    """Stack of MDCs + 1-channel post conv (reference Avocodo.py:247-299)."""
+
+    filters: Sequence[int]
+    strides: Sequence[int]
+    kernel_sizes: Sequence[Sequence[int]]
+    dilations: Sequence[Sequence[int]]
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        fmap_r, fmap_g = [], []
+        for i, (f, s, k, d) in enumerate(
+            zip(self.filters, self.strides, self.kernel_sizes, self.dilations)
+        ):
+            x = MDC(f, s, k, d, name=f"mdc_{i}")(x)
+            half = x.shape[0] // 2
+            fmap_r.append(x[:half])
+            fmap_g.append(x[half:])
+        x = Conv1d(1, 3, padding=1, use_weight_norm=True, name="post")(x)
+        half = x.shape[0] // 2
+        return x[:half], x[half:], fmap_r, fmap_g
+
+
+class _SBDConfig:
+    """Hard-coded MDCD config (reference Avocodo.py:302-324)."""
+
+    pqmf_params = (16, 256, 0.03, 10.0)
+    f_pqmf_params = (64, 256, 0.1, 9.0)
+    filters = [
+        [64, 128, 256, 256, 256],
+        [64, 128, 256, 256, 256],
+        [64, 128, 256, 256, 256],
+        [32, 64, 128, 128, 128],
+    ]
+    kernel_sizes = [
+        [[7, 7, 7]] * 5,
+        [[5, 5, 5]] * 5,
+        [[3, 3, 3]] * 5,
+        [[5, 5, 5]] * 5,
+    ]
+    dilations = [
+        [[5, 7, 11]] * 5,
+        [[3, 5, 7]] * 5,
+        [[1, 2, 3]] * 5,
+        [[1, 2, 3], [1, 2, 3], [1, 2, 3], [2, 3, 5], [2, 3, 5]],
+    ]
+    strides = [[1, 1, 3, 3, 1]] * 4
+    band_ranges = [[0, 6], [0, 11], [0, 16], [0, 64]]
+    transpose = [False, False, False, True]
+    segment_size = 8192
+
+
+class SBD(nn.Module):
+    """Sub-band discriminator over PQMF time bands + transposed frequency
+    bands (reference Avocodo.py:327-395)."""
+
+    def setup(self):
+        cfg = _SBDConfig
+        self.config = cfg
+        self.pqmf = PQMF(*cfg.pqmf_params)
+        self.f_pqmf = PQMF(*cfg.f_pqmf_params)
+        discs = []
+        for i, (f, k, d, s, br, tr) in enumerate(
+            zip(cfg.filters, cfg.kernel_sizes, cfg.dilations, cfg.strides,
+                cfg.band_ranges, cfg.transpose)
+        ):
+            discs.append(SBDBlock(f, s, k, d, name=f"disc_{i}"))
+        self.discriminators = discs
+
+    def __call__(self, y, y_hat):
+        cfg = self.config
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        y_in = self.pqmf.analysis(y)        # [B, T/16, 16]
+        y_hat_in = self.pqmf.analysis(y_hat)
+        y_in_f = self.f_pqmf.analysis(y)    # [B, T/64, 64]
+        y_hat_in_f = self.f_pqmf.analysis(y_hat)
+
+        for d, br, tr in zip(self.discriminators, cfg.band_ranges, cfg.transpose):
+            if not tr:
+                _y = y_in[..., br[0] : br[1]]
+                _y_hat = y_hat_in[..., br[0] : br[1]]
+            else:
+                # frequency bands become the time axis; time becomes channels
+                _y = jnp.swapaxes(y_in_f[..., br[0] : br[1]], 1, 2)
+                _y_hat = jnp.swapaxes(y_hat_in_f[..., br[0] : br[1]], 1, 2)
+            cat_y = jnp.concatenate([_y, _y_hat], axis=0)
+            y_d_r, y_d_g, fmap_r, fmap_g = d(cat_y)
+            y_d_rs.append(y_d_r)
+            y_d_gs.append(y_d_g)
+            fmap_rs.append(fmap_r)
+            fmap_gs.append(fmap_g)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+class AvocodoDiscriminator(nn.Module):
+    """CoMBD + SBD combined (reference Avocodo.py:398-418).
+
+    y: real waveform [B, T, 1]; ys_hat: list of 3 hierarchical fake outputs
+    [(2)B, T/4, 1], [(2)B, T/2, 1], [(2)B, T, 1].
+    """
+
+    use_spectral_norm: bool = False  # reference config has False; spectral
+    # norm variant not carried (unused dead knob in the shipped config)
+
+    def setup(self):
+        self.combd = CoMBD(name="combd")
+        self.sbd = SBD(name="sbd")
+
+    def __call__(self, y, ys_hat):
+        ys = [
+            self.combd.pqmf_lv2.analysis(y)[..., :1],
+            self.combd.pqmf_lv1.analysis(y)[..., :1],
+            y,
+        ]
+        y_c_rs, y_c_gs, fmap_c_rs, fmap_c_gs = self.combd(ys, ys_hat)
+        y_s_rs, y_s_gs, fmap_s_rs, fmap_s_gs = self.sbd(y, ys_hat[-1])
+        return (
+            y_c_rs + y_s_rs,
+            y_c_gs + y_s_gs,
+            fmap_c_rs + fmap_s_rs,
+            fmap_c_gs + fmap_s_gs,
+        )
