@@ -1,0 +1,145 @@
+"""Train-step tests: loss finiteness, parameter updates, grads reaching every
+parameter group, and single-device vs 8-device-mesh equivalence."""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vits_tpu.config import HParams
+from vits_tpu.models.synthesizer import SynthesizerTrn
+from vits_tpu.models.avocodo import AvocodoDiscriminator
+from vits_tpu.training.step import (
+    TrainState,
+    create_train_state,
+    make_optimizer,
+    train_step,
+)
+from vits_tpu.parallel.mesh import make_mesh, shard_batch, replicate_state
+
+
+HPS = HParams(
+    train=dict(
+        learning_rate=2e-4, betas=[0.8, 0.99], eps=1e-9, lr_decay=0.999875,
+        segment_size=2048, c_mel=45, c_kl=1.0, c_yin=45.0,
+    ),
+    data=dict(
+        filter_length=1024, hop_length=256, win_length=1024,
+        n_mel_channels=80, mel_fmin=0.0, mel_fmax=None, sampling_rate=22050,
+    ),
+)
+
+TINY = dict(
+    num_chars=30, spec_channels=513, segment_size=2048,
+    midi_start=-5, midi_end=75, octave_range=24,
+    inter_channels=96, hidden_channels=64, filter_channels=96,
+    n_heads=2, n_layers=1, kernel_size=3, p_dropout=0.1,
+    resblock="1", resblock_kernel_sizes=[3], resblock_dilation_sizes=[[1, 3]],
+    upsample_rates=[8, 8, 2, 2], upsample_initial_channel=32,
+    upsample_kernel_sizes=[16, 16, 4, 4],
+    yin_channels=80, yin_start=15, yin_scope=50, yin_shift_range=15,
+    n_speakers=3, gin_channels=16,
+)
+
+
+def _make_batch(b=2, tx=9, ty=16):
+    rng = np.random.default_rng(0)
+    hop = 256
+    return {
+        "x": jnp.asarray(rng.integers(1, 30, (b, tx))),
+        "t": jnp.asarray(rng.integers(0, 6, (b, tx))),
+        "x_lengths": jnp.asarray([tx] * b),
+        "spec": jnp.asarray(np.abs(rng.standard_normal((b, ty, 513))), jnp.float32),
+        "spec_lengths": jnp.asarray([ty] * b),
+        "ying": jnp.asarray(rng.uniform(0, 1, (b, ty, 80)), jnp.float32),
+        "wav": jnp.asarray(rng.standard_normal((b, ty * hop, 1)) * 0.1, jnp.float32),
+        "sid": jnp.asarray(rng.integers(0, 3, (b,))),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = SynthesizerTrn(**TINY)
+    disc = AvocodoDiscriminator()
+    optim_g = make_optimizer(HPS, steps_per_epoch=10)
+    optim_d = make_optimizer(HPS, steps_per_epoch=10)
+    batch = _make_batch()
+    state = create_train_state(
+        jax.random.PRNGKey(0), model, disc, optim_g, optim_d, batch
+    )
+    step_fn = jax.jit(
+        functools.partial(
+            train_step, model=model, disc=disc,
+            optim_g=optim_g, optim_d=optim_d, hps=HPS,
+        )
+    )
+    return model, disc, state, step_fn, batch
+
+
+def test_train_step_updates_and_finite(setup):
+    model, disc, state, step_fn, batch = setup
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    assert int(new_state.step) == 1
+    # Step 1: zero-init flow heads block gradients into the SDP conditioning
+    # encoders (same in torch); after step 2 every group must move.
+    state2, _ = step_fn(new_state, batch, jax.random.PRNGKey(2))
+    flat_old = jax.tree_util.tree_leaves_with_path(new_state.g_params)
+    flat_new = dict(jax.tree_util.tree_leaves_with_path(state2.g_params))
+    unchanged = [
+        jax.tree_util.keystr(path)
+        for path, old in flat_old
+        if np.allclose(np.asarray(old), np.asarray(flat_new[path]))
+    ]
+    assert len(unchanged) == 0, unchanged[:10]
+    # discriminator moved too
+    d_old = jax.tree_util.tree_leaves(state.d_params)
+    d_new = jax.tree_util.tree_leaves(new_state.d_params)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(d_old, d_new)
+    )
+
+
+def test_train_step_two_steps_progress(setup):
+    model, disc, state, step_fn, batch = setup
+    s1, m1 = step_fn(state, batch, jax.random.PRNGKey(1))
+    s2, m2 = step_fn(s1, batch, jax.random.PRNGKey(2))
+    assert int(s2.step) == 2
+    assert np.isfinite(float(m2["loss/g/total"]))
+
+
+def test_train_step_data_parallel_equivalence(setup):
+    """jit over an 8-device mesh must match single-device numerics."""
+    model, disc, state, step_fn, batch = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    batch8 = {
+        k: jnp.concatenate([v] * 4, axis=0) for k, v in batch.items()
+    }  # B=8 rows
+    single_state, single_metrics = step_fn(state, batch8, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(8)
+    sharded_batch = shard_batch(batch8, mesh)
+    sharded_state = replicate_state(state, mesh)
+    mesh_state, mesh_metrics = step_fn(
+        sharded_state, sharded_batch, jax.random.PRNGKey(1)
+    )
+    np.testing.assert_allclose(
+        float(mesh_metrics["loss/g/total"]),
+        float(single_metrics["loss/g/total"]),
+        rtol=2e-3,
+    )
+    np.testing.assert_allclose(
+        float(mesh_metrics["loss/d/total"]),
+        float(single_metrics["loss/d/total"]),
+        rtol=2e-3,
+    )
+    # updated params agree
+    a = jax.tree_util.tree_leaves(single_state.g_params)[0]
+    b = jax.tree_util.tree_leaves(mesh_state.g_params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-5)

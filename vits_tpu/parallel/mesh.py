@@ -1,0 +1,49 @@
+"""SPMD device-mesh utilities: data-parallel (and later model-parallel)
+sharding for the train step.
+
+The reference's distribution layer is torch DistributedDataParallel over NCCL
+(train.py:40-46,80-86,175-176; SURVEY.md §2.8): one process per GPU, gradient
+all-reduce hooks, rank-strided data sharding. The TPU-native equivalent is a
+jax.sharding.Mesh + jit: batches are sharded over the 'data' axis, parameters
+replicated; XLA inserts the gradient all-reduce (psum over ICI) automatically
+from sharding propagation — no NCCL-like API surface exists or is needed.
+
+Multi-host: jax.distributed.initialize() before mesh creation; each host
+feeds its local shard (jax.make_array_from_process_local_data).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int | None = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the given (default: all) devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_data is not None:
+        devices = devices[:n_data]
+    return Mesh(devices.reshape(-1), ("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis sharded over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Device-put a host batch with the leading axis sharded over 'data'."""
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def replicate_state(state: Any, mesh: Mesh) -> Any:
+    rep = replicated(mesh)
+    return jax.device_put(state, rep)
