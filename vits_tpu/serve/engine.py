@@ -1,0 +1,180 @@
+"""Serving engine: text -> phonemes -> waveform, with pitch/duration control.
+
+Behavioral reference: /root/reference/app.py:32-87 (PITS demo inference:
+get_phoneme -> infer_pre_decoder(noise 0.667/0.8) -> infer_decode_chunk,
+scope-shift slider -15..15, duration multiplier 0.5-2).
+
+TPU-first: synthesis is a single jitted program per (text-bucket,
+frame-budget) pair; text is padded to a small set of bucket lengths so
+arbitrary inputs hit a warm compile cache. Scope shift is a static argument
+(distinct trace per value, cached).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vits_tpu.config import load_hparams, synthesizer_kwargs
+from vits_tpu.models.synthesizer import SynthesizerTrn
+from vits_tpu.ops.commons import intersperse_with_language_id
+from vits_tpu.text import cleaned_text_to_sequence
+from vits_tpu.text.cleaners import clean_text
+from vits_tpu.text.symbols import symbols
+
+
+class TTSEngine:
+    """Loads a config + eval checkpoint and synthesizes speech."""
+
+    TEXT_BUCKETS = (64, 128, 256, 384)
+
+    def __init__(
+        self,
+        config_path: str,
+        checkpoint_path: str | None = None,
+        max_frames: int = 1000,
+    ):
+        self.hps = load_hparams(config_path)
+        self.model = SynthesizerTrn(
+            **synthesizer_kwargs(self.hps, len(symbols))
+        )
+        self.max_frames = max_frames
+        self.sampling_rate = self.hps.data.sampling_rate
+        self.hop = self.hps.data.hop_length
+
+        x0 = jnp.zeros((1, 16), jnp.int32)
+        params = self.model.init(
+            jax.random.PRNGKey(0), x0, x0, jnp.asarray([16]),
+            sid=jnp.asarray([0]), rng=jax.random.PRNGKey(1), max_frames=16,
+            method=SynthesizerTrn.infer,
+        )
+        if checkpoint_path is not None:
+            from vits_tpu.training.checkpoint import load_eval_params
+
+            params = {
+                "params": load_eval_params(checkpoint_path, params["params"])
+            }
+        self.params = params
+
+        model, max_frames = self.model, self.max_frames
+
+        @functools.partial(jax.jit, static_argnames=("scope_shift",))
+        def _synth(params, x, t, x_lengths, sid, key, duration, scope_shift):
+            return model.apply(
+                params, x, t, x_lengths, sid=sid, rng=key,
+                noise_scale=0.667, noise_scale_w=0.8, length_scale=duration,
+                max_frames=max_frames, scope_shift=scope_shift,
+                method=SynthesizerTrn.infer,
+            )
+
+        self._synth_fn = _synth
+
+    def get_phoneme(self, text: str):
+        """Tagged text -> (ids, lang ids, IPA string) (reference app.py:48-58)."""
+        cleaned_text, lang = clean_text(text)
+        seq = cleaned_text_to_sequence(cleaned_text)
+        if self.hps.data.add_blank:
+            seq, lang = intersperse_with_language_id(seq, lang, 0)
+        return np.asarray(seq, np.int32), np.asarray(lang, np.int32), cleaned_text
+
+    def _bucket(self, n: int) -> int:
+        for b in self.TEXT_BUCKETS:
+            if n <= b:
+                return b
+        return self.TEXT_BUCKETS[-1]
+
+    def synthesize(
+        self,
+        text: str,
+        speaker_id: int = 0,
+        seed: int = 0,
+        scope_shift: int = 0,
+        duration: float = 1.0,
+    ):
+        """Returns (ipa_string, (sampling_rate, waveform np.ndarray))."""
+        seq, lang, phones = self.get_phoneme(text)
+        n = len(seq)
+        if n == 0:
+            raise ValueError(
+                "empty phoneme sequence — input must contain language-tagged "
+                "blocks like [EN]...[EN], [ZH]...[ZH], [JA]...[JA], [P]...[P]"
+            )
+        tx = self._bucket(n)
+        n = min(n, tx)
+        x = np.zeros((1, tx), np.int32)
+        t = np.zeros((1, tx), np.int32)
+        x[0, :n] = seq[:n]
+        t[0, :n] = lang[:n]
+        wav, y_mask, y_len = self._synth_fn(
+            self.params, jnp.asarray(x), jnp.asarray(t), jnp.asarray([n]),
+            jnp.asarray([speaker_id]), jax.random.PRNGKey(seed),
+            jnp.float32(duration), scope_shift=int(scope_shift),
+        )
+        n_samples = int(np.asarray(y_len)[0]) * self.hop
+        audio = np.asarray(wav)[0, :n_samples, 0]
+        return phones, (self.sampling_rate, audio)
+
+    def voice_conversion(self, wav: np.ndarray, sid_src: int, sid_tgt: int, seed: int = 0):
+        """Waveform -> target-speaker waveform via the shared flow."""
+        from vits_tpu.ops.stft import spectrogram
+        from vits_tpu.ops.yin import Yingram
+
+        hps = self.hps
+        wav_b = jnp.asarray(wav, jnp.float32)[None, :]
+        spec = spectrogram(
+            wav_b, hps.data.filter_length, hps.data.hop_length,
+            hps.data.win_length,
+        )
+        n = wav_b.shape[1]
+        left = hps.data.filter_length - hps.data.hop_length
+        right = (
+            left + (-n) % hps.data.hop_length
+            + hps.data.hop_length * (n % hps.data.hop_length == 0)
+        )
+        ying = Yingram(
+            hps.data.sampling_rate, hps.data.hop_length, 2048,
+            hps.data.tau_max, hps.data.midi_start, hps.data.midi_end,
+            hps.data.octave_range,
+        )(jnp.pad(wav_b, ((0, 0), (left, right))))
+        frames = min(spec.shape[1], ying.shape[1])
+        o_hat, _, _ = self.model.apply(
+            self.params, spec[:, :frames], ying[:, :frames],
+            jnp.asarray([frames]), jnp.asarray([sid_src]),
+            jnp.asarray([sid_tgt]), rng=jax.random.PRNGKey(seed),
+            method=SynthesizerTrn.voice_conversion,
+        )
+        return np.asarray(o_hat)[0, :, 0]
+
+
+def main():
+    import argparse
+
+    import scipy.io.wavfile
+
+    parser = argparse.ArgumentParser(description="vits_tpu synthesis CLI")
+    parser.add_argument("-c", "--config", required=True)
+    parser.add_argument("-p", "--checkpoint", default=None,
+                        help="eval checkpoint dir (eval_{step})")
+    parser.add_argument("-t", "--text", required=True,
+                        help="tagged text, e.g. '[EN]hello[EN]'")
+    parser.add_argument("-o", "--output", default="out.wav")
+    parser.add_argument("-s", "--speaker", type=int, default=0)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--scope-shift", type=int, default=0)
+    parser.add_argument("--duration", type=float, default=1.0)
+    args = parser.parse_args()
+
+    engine = TTSEngine(args.config, args.checkpoint)
+    phones, (sr, audio) = engine.synthesize(
+        args.text, args.speaker, args.seed, args.scope_shift, args.duration
+    )
+    scipy.io.wavfile.write(args.output, sr, audio)
+    print(f"phonemes: {phones}")
+    print(f"wrote {args.output} ({len(audio) / sr:.2f}s @ {sr} Hz)")
+
+
+if __name__ == "__main__":
+    main()

@@ -169,20 +169,32 @@ def _hanzi_to_pinyin(text: str) -> str:
         ) from e
     from pypinyin import Style
 
+    from vits_tpu.text.tone_sandhi import cross_word_third_tone, modified_tone
+
     words = [w for w in jieba.cut(text) if w.strip()]
-    sylls = []
+    hanzi_sylls: list[list[str] | None] = []
     for w in words:
         if re.match(r"^[一-鿿]+$", w):
-            py = pypinyin.lazy_pinyin(w, style=Style.TONE3, neutral_tone_with_five=True)
-            sylls.append(" ".join(py))
+            py = pypinyin.lazy_pinyin(
+                w, style=Style.TONE3, neutral_tone_with_five=True
+            )
+            hanzi_sylls.append(modified_tone(w, py))
         else:
-            sylls.append(w)
-    return "#".join(sylls)
+            hanzi_sylls.append(None)  # literal passthrough
+    sandhi = cross_word_third_tone([s or [] for s in hanzi_sylls])
+    out = []
+    for w, s, s2 in zip(words, hanzi_sylls, sandhi):
+        out.append(" ".join(s2) if s is not None else w)
+    return "#".join(out)
 
 
 def chinese_to_ipa(text: str) -> str:
-    """Full hanzi path (reference mandarin.py:119-123)."""
-    text = number_to_chinese(text)
+    """Full hanzi path (reference mandarin.py:119-123): NSW normalization ->
+    punctuation -> segmentation+pinyin (+tone sandhi) -> bopomofo -> IPA."""
+    from vits_tpu.text.zh_normalization import TextNormalizer
+
+    text = TextNormalizer().normalize(text)
+    text = number_to_chinese(text)  # safety net for leftovers
     text = pu_symbol_replace(text)
     pinyin = _hanzi_to_pinyin(text)
     text = bopomofo(pinyin)
