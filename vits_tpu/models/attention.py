@@ -184,7 +184,7 @@ class RelativePositionTransformer(nn.Module):
                 name=f"attn_{i}",
             )(x, x, attn_mask, deterministic=deterministic)
             y = nn.Dropout(self.p_dropout, deterministic=deterministic)(y)
-            x = nn.LayerNorm(name=f"norm1_{i}")(x + y)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"norm1_{i}")(x + y)
 
             y = FeedForwardNetwork(
                 self.hidden_channels,
@@ -194,5 +194,5 @@ class RelativePositionTransformer(nn.Module):
                 name=f"ffn_{i}",
             )(x, x_mask, deterministic=deterministic)
             y = nn.Dropout(self.p_dropout, deterministic=deterministic)(y)
-            x = nn.LayerNorm(name=f"norm2_{i}")(x + y)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"norm2_{i}")(x + y)
         return x * x_mask

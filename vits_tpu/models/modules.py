@@ -276,10 +276,10 @@ class DDSConv(nn.Module):
                 padding=(self.kernel_size * dilation - dilation) // 2,
                 name=f"sep_{i}",
             )(x * x_mask)
-            y = nn.LayerNorm(name=f"norm1_{i}")(y)
+            y = nn.LayerNorm(epsilon=1e-5, name=f"norm1_{i}")(y)
             y = jax.nn.gelu(y, approximate=False)
             y = Conv1d(self.channels, 1, name=f"pointwise_{i}")(y)
-            y = nn.LayerNorm(name=f"norm2_{i}")(y)
+            y = nn.LayerNorm(epsilon=1e-5, name=f"norm2_{i}")(y)
             y = jax.nn.gelu(y, approximate=False)
             y = nn.Dropout(self.p_dropout, deterministic=deterministic)(y)
             x = x + y
