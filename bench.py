@@ -32,10 +32,14 @@ def main():
     x_lengths = jnp.asarray([tx] * b)
     sid = jnp.asarray([0])
 
-    params = model.init(
-        jax.random.PRNGKey(0), x, t, x_lengths, sid=sid,
-        rng=jax.random.PRNGKey(1), max_frames=16,
-        method=SynthesizerTrn.infer,
+    init_fn = jax.jit(
+        lambda key, x, t, xl, sid, r: model.init(
+            key, x, t, xl, sid=sid, rng=r, max_frames=16,
+            method=SynthesizerTrn.infer,
+        )
+    )
+    params = init_fn(
+        jax.random.PRNGKey(0), x, t, x_lengths, sid, jax.random.PRNGKey(1)
     )
 
     @jax.jit

@@ -1,0 +1,97 @@
+"""Training-step throughput benchmark on the flagship config (single chip).
+
+Not the driver headline (bench.py is); prints a JSON line with steps/sec and
+utterance-seconds of audio trained per second.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vits_tpu.config import load_hparams, synthesizer_kwargs
+from vits_tpu.models.avocodo import AvocodoDiscriminator
+from vits_tpu.models.synthesizer import SynthesizerTrn
+from vits_tpu.text.symbols import symbols
+from vits_tpu.training.step import create_train_state, make_optimizer, train_step
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--frames", type=int, default=400)
+    parser.add_argument("--text", type=int, default=128)
+    parser.add_argument("--iters", type=int, default=10)
+    args = parser.parse_args()
+
+    hps = load_hparams("configs/config_cje.yaml")
+    model = SynthesizerTrn(**synthesizer_kwargs(hps, len(symbols)))
+    disc = AvocodoDiscriminator()
+    optim_g = make_optimizer(hps, steps_per_epoch=100)
+    optim_d = make_optimizer(hps, steps_per_epoch=100)
+
+    b, tx, ty, hop = args.batch, args.text, args.frames, hps.data.hop_length
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(rng.integers(1, len(symbols), (b, tx))),
+        "t": jnp.asarray(rng.integers(0, 6, (b, tx))),
+        "x_lengths": jnp.asarray([tx] * b),
+        "spec": jnp.asarray(
+            np.abs(rng.standard_normal((b, ty, 513))).astype(np.float32)
+        ),
+        "spec_lengths": jnp.asarray([ty] * b),
+        "ying": jnp.asarray(rng.uniform(0, 1, (b, ty, 80)).astype(np.float32)),
+        "wav": jnp.asarray(
+            (rng.standard_normal((b, ty * hop, 1)) * 0.1).astype(np.float32)
+        ),
+        "sid": jnp.asarray(rng.integers(0, 5, (b,))),
+    }
+
+    t0 = time.perf_counter()
+    state = create_train_state(
+        jax.random.PRNGKey(0), model, disc, optim_g, optim_d, batch
+    )
+    jax.block_until_ready(state.g_params)
+    init_s = time.perf_counter() - t0
+
+    step_fn = jax.jit(
+        functools.partial(
+            train_step, model=model, disc=disc,
+            optim_g=optim_g, optim_d=optim_d, hps=hps,
+        )
+    )
+    t0 = time.perf_counter()
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(state.g_params)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        state, metrics = step_fn(state, batch, jax.random.fold_in(jax.random.PRNGKey(2), i))
+    jax.block_until_ready(state.g_params)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = args.iters / elapsed
+    audio_sec_per_step = b * ty * hop / hps.data.sampling_rate
+    print(json.dumps({
+        "metric": "train_steps_per_sec",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/s",
+        "batch": b,
+        "frames": ty,
+        "audio_sec_per_sec": round(steps_per_sec * audio_sec_per_step, 2),
+        "init_s": round(init_s, 1),
+        "compile_s": round(compile_s, 1),
+        "loss_g": round(float(metrics["loss/g/total"]), 3),
+        "loss_d": round(float(metrics["loss/d/total"]), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

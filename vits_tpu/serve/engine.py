@@ -46,10 +46,16 @@ class TTSEngine:
         self.hop = self.hps.data.hop_length
 
         x0 = jnp.zeros((1, 16), jnp.int32)
-        params = self.model.init(
-            jax.random.PRNGKey(0), x0, x0, jnp.asarray([16]),
-            sid=jnp.asarray([0]), rng=jax.random.PRNGKey(1), max_frames=16,
-            method=SynthesizerTrn.infer,
+        model = self.model
+        init_fn = jax.jit(
+            lambda key, x, xl, sid, r: model.init(
+                key, x, x, xl, sid=sid, rng=r, max_frames=16,
+                method=SynthesizerTrn.infer,
+            )
+        )
+        params = init_fn(
+            jax.random.PRNGKey(0), x0, jnp.asarray([16]), jnp.asarray([0]),
+            jax.random.PRNGKey(1),
         )
         if checkpoint_path is not None:
             from vits_tpu.training.checkpoint import load_eval_params

@@ -73,7 +73,18 @@ def evaluate(
                 noise_scale_w=0.8, max_frames=1024,
                 method=SynthesizerTrn.infer,
             )
+            # scope-shifted (+6) resynthesis (reference evaluate.py:104-115)
+            wav_shift, _, y_len_shift = model.apply(
+                {"params": g_params},
+                jnp.asarray(batch["x"][:1]), jnp.asarray(batch["t"][:1]),
+                jnp.asarray(batch["x_lengths"][:1]),
+                sid=jnp.asarray(batch["sid"][:1]),
+                rng=jax.random.PRNGKey(1), noise_scale=0.667,
+                noise_scale_w=0.8, max_frames=1024, scope_shift=6,
+                method=SynthesizerTrn.infer,
+            )
             n = int(np.asarray(y_len)[0]) * hop
+            n_shift = int(np.asarray(y_len_shift)[0]) * hop
             gen_mel = mel_spectrogram(
                 wav[..., 0], hps.data.filter_length, hps.data.n_mel_channels,
                 hps.data.sampling_rate, hop, hps.data.win_length,
@@ -90,9 +101,18 @@ def evaluate(
                     "gt/mel": plot_spectrogram_to_numpy(
                         np.asarray(mel[0, :gt_frames])
                     ),
+                    "gen/yin_dec": plot_spectrogram_to_numpy(
+                        np.asarray(out["yin_dec_crop"][0, :gt_frames])
+                    ),
+                    "gt/yin": plot_spectrogram_to_numpy(
+                        np.asarray(out["yin_gt_crop"][0, :gt_frames])
+                    ),
                 },
                 audios={
                     "gen/audio": np.asarray(wav[0, :n, 0]),
+                    "gen/audio_scope_shift6": np.asarray(
+                        wav_shift[0, :n_shift, 0]
+                    ),
                     "gt/audio": np.asarray(batch["wav"][0, : gt_frames * hop, 0]),
                 },
                 audio_sampling_rate=hps.data.sampling_rate,

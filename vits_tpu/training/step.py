@@ -70,7 +70,9 @@ def create_train_state(
     batch: dict,
 ) -> TrainState:
     g_rng, d_rng, f_rng = jax.random.split(rng, 3)
-    g_vars = model.init(
+    # jit the inits: eager tracing dispatches thousands of tiny ops to the
+    # device one by one (minutes on TPU); compiled init takes seconds
+    g_vars = jax.jit(model.init)(
         g_rng,
         batch["x"], batch["t"], batch["x_lengths"],
         batch["spec"], batch["spec_lengths"], batch["ying"], batch["sid"],
@@ -84,7 +86,7 @@ def create_train_state(
         jnp.zeros((2 * b, seg // 2, 1), jnp.float32),
         dummy_y,
     ]
-    d_vars = disc.init(d_rng, dummy_y, dummy_hier)
+    d_vars = jax.jit(disc.init)(d_rng, dummy_y, dummy_hier)
     g_params, d_params = g_vars["params"], d_vars["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),
