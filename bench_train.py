@@ -28,11 +28,12 @@ def main():
     parser.add_argument("--frames", type=int, default=400)
     parser.add_argument("--text", type=int, default=128)
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--bf16", action="store_true")
     args = parser.parse_args()
 
     hps = load_hparams("configs/config_cje.yaml")
-    model = SynthesizerTrn(**synthesizer_kwargs(hps, len(symbols)))
-    disc = AvocodoDiscriminator()
+    model = SynthesizerTrn(**synthesizer_kwargs(hps, len(symbols)), bf16=args.bf16)
+    disc = AvocodoDiscriminator(bf16=args.bf16)
     optim_g = make_optimizer(hps, steps_per_epoch=100)
     optim_d = make_optimizer(hps, steps_per_epoch=100)
 
@@ -81,6 +82,7 @@ def main():
     audio_sec_per_step = b * ty * hop / hps.data.sampling_rate
     print(json.dumps({
         "metric": "train_steps_per_sec",
+        "bf16": args.bf16,
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
         "batch": b,

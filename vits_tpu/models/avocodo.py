@@ -240,12 +240,16 @@ class AvocodoDiscriminator(nn.Module):
 
     use_spectral_norm: bool = False  # reference config has False; spectral
     # norm variant not carried (unused dead knob in the shipped config)
+    bf16: bool = False  # conv stacks in bfloat16; loss math casts back to f32
 
     def setup(self):
         self.combd = CoMBD(name="combd")
         self.sbd = SBD(name="sbd")
 
     def __call__(self, y, ys_hat):
+        if self.bf16:
+            y = y.astype(jnp.bfloat16)
+            ys_hat = [o.astype(jnp.bfloat16) for o in ys_hat]
         ys = [
             self.combd.pqmf_lv2.analysis(y)[..., :1],
             self.combd.pqmf_lv1.analysis(y)[..., :1],

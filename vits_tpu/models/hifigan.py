@@ -107,6 +107,7 @@ class HiFiGANGenerator(nn.Module):
     upsample_initial_channel: int
     upsample_kernel_sizes: tuple[int, ...]
     gin_channels: int = 0
+    bf16: bool = False  # compute in bfloat16 (params stay f32); outputs f32
 
     @nn.compact
     def _body(self, x: jax.Array, g: jax.Array | None, hier: bool):
@@ -114,6 +115,9 @@ class HiFiGANGenerator(nn.Module):
         num_upsamples = len(self.upsample_rates)
         resblock_cls = ResBlock1 if self.resblock_type == "1" else ResBlock2
 
+        if self.bf16:
+            x = x.astype(jnp.bfloat16)
+            g = g.astype(jnp.bfloat16) if g is not None else None
         x = Conv1d(self.upsample_initial_channel, 7, padding=3, name="conv_pre")(x)
         if g is not None:
             x = x + Conv1d(self.upsample_initial_channel, 1, name="cond")(g)
@@ -146,11 +150,11 @@ class HiFiGANGenerator(nn.Module):
                     1, 7, padding=3, use_bias=False,
                     name=f"conv_post_{i - num_upsamples + 3}",
                 )(_x)
-                outs.append(jnp.tanh(_x))
+                outs.append(jnp.tanh(_x).astype(jnp.float32))
             if not hier and i == num_upsamples - 1:
                 _x = jax.nn.leaky_relu(x)
                 _x = Conv1d(1, 7, padding=3, use_bias=False, name="conv_post_2")(_x)
-                outs.append(jnp.tanh(_x))
+                outs.append(jnp.tanh(_x).astype(jnp.float32))
         return outs
 
     def __call__(self, x: jax.Array, g: jax.Array | None = None) -> jax.Array:

@@ -23,6 +23,7 @@ class PosteriorEncoder(nn.Module):
     dilation_rate: int
     n_layers: int
     gin_channels: int = 0
+    bf16: bool = False  # WaveNet stack in bfloat16; stats/sampling in f32
 
     @nn.compact
     def __call__(
@@ -32,7 +33,11 @@ class PosteriorEncoder(nn.Module):
         g: jax.Array | None = None,  # [B, 1, gin]
         rng: jax.Array | None = None,
     ):
-        x_mask = sequence_mask(x_lengths, x.shape[1])[..., None].astype(x.dtype)
+        x_mask = sequence_mask(x_lengths, x.shape[1])[..., None].astype(jnp.float32)
+        if self.bf16:
+            x = x.astype(jnp.bfloat16)
+            g = g.astype(jnp.bfloat16) if g is not None else None
+            x_mask = x_mask.astype(jnp.bfloat16)
         h = Conv1d(self.hidden_channels, 1, name="pre")(x) * x_mask
         h = WaveNet(
             self.hidden_channels,
@@ -42,7 +47,10 @@ class PosteriorEncoder(nn.Module):
             gin_channels=self.gin_channels,
             name="enc",
         )(h, x_mask, g=g)
-        stats = Conv1d(self.out_channels * 2, 1, name="proj")(h) * x_mask
+        stats = (Conv1d(self.out_channels * 2, 1, name="proj")(h) * x_mask).astype(
+            jnp.float32
+        )
+        x_mask = x_mask.astype(jnp.float32)
         m = stats[..., : self.out_channels]
         logs = stats[..., self.out_channels :]
         if rng is None:

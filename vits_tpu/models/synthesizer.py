@@ -71,6 +71,9 @@ class SynthesizerTrn(nn.Module):
     sampling_rate: int = 22050
     filter_length: int = 1024
     hop_length: int = 256
+    bf16: bool = False  # bfloat16 compute in the HBM/FLOP-heavy submodules
+    # (posterior WaveNet stacks + HiFi-GAN decoder); flows, MAS, duration,
+    # sampling and all loss-facing stats stay float32
 
     def setup(self):
         self.text_encoder = TextEncoder(
@@ -92,6 +95,7 @@ class SynthesizerTrn(nn.Module):
             self.upsample_initial_channel,
             tuple(self.upsample_kernel_sizes),
             gin_channels=self.gin_channels,
+            bf16=self.bf16,
         )
         self.posterior_encoder = PosteriorEncoder(
             self.spec_channels,
@@ -99,6 +103,7 @@ class SynthesizerTrn(nn.Module):
             self.inter_channels - self.yin_channels,
             5, 1, 16,
             gin_channels=self.gin_channels,
+            bf16=self.bf16,
         )
         self.pitch_encoder = PosteriorEncoder(
             self.yin_channels,
@@ -106,6 +111,7 @@ class SynthesizerTrn(nn.Module):
             self.yin_channels,
             5, 1, 16,
             gin_channels=self.gin_channels,
+            bf16=self.bf16,
         )
         self.flow = ResidualCouplingBlock(
             self.inter_channels,

@@ -29,6 +29,39 @@ def make_mesh(n_data: int | None = None, devices=None) -> Mesh:
     return Mesh(devices.reshape(-1), ("data",))
 
 
+def make_mesh_2d(n_data: int, n_model: int, devices=None) -> Mesh:
+    """2-D (data, model) mesh: batch sharded over 'data', tensor-parallel
+    layers sharded over 'model'."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    devices = devices[: n_data * n_model].reshape(n_data, n_model)
+    return Mesh(devices, ("data", "model"))
+
+
+def tp_shard_generator(g_params, mesh: Mesh):
+    """Tensor-parallel placement for the waveform decoder: conv kernels
+    sharded over output channels on the 'model' axis (per-output-channel
+    quantities — bias, weight-norm g — sharded likewise). XLA inserts the
+    resulting all-gathers/reduce-scatters on ICI from sharding propagation.
+
+    The reference has no TP (SURVEY.md §2.8) — for VITS-scale models DP is
+    the right strategy; this placement exists to scale the HiFi-GAN decoder
+    beyond one chip's HBM bandwidth for very large batch serving/training.
+    """
+    n_model = mesh.shape["model"]
+
+    def place(path, leaf):
+        keys = [getattr(p, "key", "") for p in path]
+        if "waveform_decoder" in keys:
+            last = keys[-1]
+            if last == "kernel" and leaf.ndim == 3 and leaf.shape[-1] % n_model == 0:
+                return jax.device_put(leaf, NamedSharding(mesh, P(None, None, "model")))
+            if last in ("bias", "g") and leaf.ndim == 1 and leaf.shape[0] % n_model == 0:
+                return jax.device_put(leaf, NamedSharding(mesh, P("model")))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map_with_path(place, g_params)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) axis sharded over 'data'."""
     return NamedSharding(mesh, P("data"))

@@ -97,8 +97,9 @@ def run(hps, initial_run: bool = False) -> None:
         val_ds, val_sampler, text_bound=text_bound
     )
 
-    model = SynthesizerTrn(**synthesizer_kwargs(hps, len(symbols)))
-    disc = AvocodoDiscriminator()
+    bf16 = bool(hps.train.get("bf16_run", False))
+    model = SynthesizerTrn(**synthesizer_kwargs(hps, len(symbols)), bf16=bf16)
+    disc = AvocodoDiscriminator(bf16=bf16)
     steps_per_epoch = max(len(sampler), 1)
     optim_g = make_optimizer(hps, steps_per_epoch)
     optim_d = make_optimizer(hps, steps_per_epoch)
