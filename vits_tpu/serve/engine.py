@@ -60,9 +60,9 @@ class TTSEngine:
         if checkpoint_path is not None:
             from vits_tpu.training.checkpoint import load_eval_params
 
-            params = {
-                "params": load_eval_params(checkpoint_path, params["params"])
-            }
+            # raw restore: the saved tree covers the full generator (incl.
+            # posterior encoders / yin decoder used by VC + eval paths)
+            params = {"params": load_eval_params(checkpoint_path)}
         self.params = params
 
         model, max_frames = self.model, self.max_frames

@@ -76,11 +76,20 @@ def load_checkpoint(path: str, target) -> tuple:
     return restored["state"], restored["epoch"]
 
 
-def load_eval_params(path: str, target_g_params):
+def load_eval_params(path: str, target_g_params=None):
+    """Restore generator params from an eval_{step} dir.
+
+    With target=None restores the full saved tree raw (numpy) — serving
+    inits only the inference subtree, and flax apply happily carries the
+    extra (posterior/yin-decoder) params, which voice conversion needs.
+    """
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(
-        os.path.abspath(path), target={"g_params": target_g_params}
-    )
+    if target_g_params is None:
+        restored = ckptr.restore(os.path.abspath(path))
+    else:
+        restored = ckptr.restore(
+            os.path.abspath(path), target={"g_params": target_g_params}
+        )
     return restored["g_params"]
 
 
