@@ -40,6 +40,10 @@ def test_save_load_roundtrip(tmp_path):
     )
     g = load_eval_params(os.path.join(d, "eval_10"), _dummy_state(0.0).g_params)
     np.testing.assert_array_equal(np.asarray(g["a"]), np.ones((2, 3)) * 2.0)
+    # raw restore (no target): serving path that carries the full tree
+    g_raw = load_eval_params(os.path.join(d, "eval_10"))
+    np.testing.assert_array_equal(np.asarray(g_raw["a"]), np.ones((2, 3)) * 2.0)
+    np.testing.assert_array_equal(np.asarray(g_raw["b"]["c"]), np.zeros(4))
 
 
 def test_keep_ckpts_pruning(tmp_path):

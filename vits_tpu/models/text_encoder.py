@@ -46,6 +46,10 @@ class TextEncoder(nn.Module):
         emb = nn.Embed(self.n_vocab, h, embedding_init=emb_init, name="emb")
         emb_t = nn.Embed(N_LANGUAGES, h, embedding_init=emb_init, name="emb_t")
 
+        # clip ids defensively: out-of-range gather fills NaN under XLA
+        # (silently), unlike torch's loud IndexError
+        x = jnp.clip(x, 0, self.n_vocab - 1)
+        t = jnp.clip(t, 0, N_LANGUAGES - 1)
         te = emb_t(t) * (t != 0)[..., None]  # zero where language id == 0
         x = (emb(x) + te) * math.sqrt(h)  # [B, T, H]
 

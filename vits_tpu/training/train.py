@@ -188,7 +188,14 @@ def main():
         "-i", "--initial-run", action="store_true",
         help="precompute all feature caches first",
     )
+    parser.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host SPMD: jax.distributed.initialize() (TPU pods pick "
+        "up coordinator/process env automatically)",
+    )
     args = parser.parse_args()
+    if args.distributed:
+        jax.distributed.initialize()
     hps = get_hparams(args.config, args.model)
     run(hps, initial_run=args.initial_run)
 
