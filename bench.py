@@ -17,6 +17,9 @@ import jax.numpy as jnp
 
 
 def main():
+    from vits_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from vits_tpu.config import load_hparams, synthesizer_kwargs
     from vits_tpu.models.synthesizer import SynthesizerTrn
     from vits_tpu.text.symbols import symbols

@@ -23,6 +23,9 @@ from vits_tpu.training.step import create_train_state, make_optimizer, train_ste
 
 
 def main():
+    from vits_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--frames", type=int, default=400)

@@ -37,6 +37,9 @@ class TTSEngine:
         checkpoint_path: str | None = None,
         max_frames: int = 1000,
     ):
+        from vits_tpu.utils.compilation_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.hps = load_hparams(config_path)
         self.model = SynthesizerTrn(
             **synthesizer_kwargs(self.hps, len(symbols))

@@ -69,6 +69,9 @@ def build_dataset(hps, split: str, pt_run: bool = False):
 
 
 def run(hps, initial_run: bool = False) -> None:
+    from vits_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     logger = get_logger(hps.model_dir)
     check_git_hash(hps.model_dir, logger)
     writer = make_writer(hps.model_dir)
