@@ -126,6 +126,72 @@ class TTSEngine:
         audio = np.asarray(wav)[0, :n_samples, 0]
         return phones, (self.sampling_rate, audio)
 
+    def synthesize_chunked(
+        self,
+        text: str,
+        speaker_id: int = 0,
+        seed: int = 0,
+        scope_shift: int = 0,
+        duration: float = 1.0,
+        chunk_frames: int = 128,
+        overlap_frames: int = 16,
+    ):
+        """Long-form synthesis with bounded decoder memory.
+
+        Runs the staged path once (text-enc -> durations -> length-regulate ->
+        reverse flow, reference SynthesizerTrn.py:325-373), then decodes the
+        latent in fixed-size chunks with overlap margins that cover the
+        HiFi-GAN receptive field, trimming the margins after decode
+        (`infer_decode_chunk`, reference :438-443). Chunks share one compiled
+        program, so memory stays O(chunk) regardless of text length.
+        """
+        seq, lang, phones = self.get_phoneme(text)
+        n = len(seq)
+        if n == 0:
+            raise ValueError("empty phoneme sequence")
+        tx = self._bucket(n)
+        n = min(n, tx)
+        x = np.zeros((1, tx), np.int32)
+        t = np.zeros((1, tx), np.int32)
+        x[0, :n] = seq[:n]
+        t[0, :n] = lang[:n]
+
+        dec_inputs, y_mask, y_lengths, _ = self.model.apply(
+            self.params, jnp.asarray(x), jnp.asarray(t), jnp.asarray([n]),
+            sid=jnp.asarray([speaker_id]), rng=jax.random.PRNGKey(seed),
+            noise_scale=0.667, noise_scale_w=0.8,
+            length_scale=float(duration), max_frames=self.max_frames,
+            scope_shift=int(scope_shift),
+            method=SynthesizerTrn.infer_pre_decoder,
+        )
+        total = int(np.asarray(y_lengths)[0])
+        dec_inputs = np.asarray(dec_inputs)[0]  # [T, C]
+
+        model = self.model
+        decode = jax.jit(
+            lambda p, z, sid: model.apply(
+                p, z, sid=sid, method=SynthesizerTrn.infer_decode_chunk
+            )
+        )
+        sid_arr = jnp.asarray([speaker_id])
+        pieces = []
+        pos = 0
+        while pos < total:
+            lo = max(0, pos - overlap_frames)
+            hi = min(total, pos + chunk_frames + overlap_frames)
+            window = np.zeros(
+                (1, chunk_frames + 2 * overlap_frames, dec_inputs.shape[-1]),
+                np.float32,
+            )
+            window[0, : hi - lo] = dec_inputs[lo:hi]
+            wav_chunk = np.asarray(decode(self.params, jnp.asarray(window), sid_arr))
+            start = (pos - lo) * self.hop
+            end = start + min(chunk_frames, total - pos) * self.hop
+            pieces.append(wav_chunk[0, start:end, 0])
+            pos += chunk_frames
+        audio = np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
+        return phones, (self.sampling_rate, audio)
+
     def voice_conversion(self, wav: np.ndarray, sid_src: int, sid_tgt: int, seed: int = 0):
         """Waveform -> target-speaker waveform via the shared flow."""
         from vits_tpu.ops.stft import spectrogram
