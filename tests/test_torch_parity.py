@@ -291,3 +291,76 @@ def test_full_synthesizer_conversion_loads():
         rng=jax.random.PRNGKey(2), max_frames=8, method=SynthesizerTrn.infer,
     )
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_full_inference_parity_zero_noise():
+    """The BASELINE north-star parity check: with noise scales at 0 the whole
+    inference path (text-enc -> SDP reverse -> length-regulate -> reverse
+    flow -> scope crop -> HiFi-GAN decode) is deterministic — identical
+    converted weights must produce matching waveforms (mel-L1 < 1e-3)."""
+    import types
+
+    fake = types.ModuleType("monotonic_align")
+    fake.maximum_path = lambda *a, **k: None
+    sys.modules.setdefault("monotonic_align", fake)
+    import SynthesizerTrn as refST
+    from vits_tpu.models.synthesizer import SynthesizerTrn
+    from vits_tpu.ops.stft import mel_spectrogram
+
+    kwargs = dict(
+        num_chars=30, spec_channels=513, segment_size=2048,
+        midi_start=-5, midi_end=75, octave_range=24,
+        inter_channels=96, hidden_channels=64, filter_channels=96,
+        n_heads=2, n_layers=2, kernel_size=3, p_dropout=0.0,
+        resblock="1", resblock_kernel_sizes=[3],
+        resblock_dilation_sizes=[[1, 3, 5]],
+        upsample_rates=[8, 8, 2, 2], upsample_initial_channel=32,
+        upsample_kernel_sizes=[16, 16, 4, 4],
+        # inter - yin must exceed yin for the reference's torch.split to
+        # yield exactly two chunks (it relies on the remainder chunk)
+        yin_channels=40, yin_start=8, yin_scope=25, yin_shift_range=7,
+        n_speakers=3, gin_channels=16,
+    )
+    tm = refST.SynthesizerTrn(**kwargs)
+    tm.eval()
+    rng = np.random.default_rng(7)
+    x = rng.integers(1, 30, (1, 10))
+    t = rng.integers(0, 6, (1, 10))
+    with torch.no_grad():
+        dec_in_ref, attn_ref, y_mask_ref, _ = tm.infer_pre_decoder(
+            _to_torch(x).long(), _to_torch(t).long(),
+            _to_torch(np.array([10])).long(), sid=_to_torch(np.array([1])).long(),
+            noise_scale=0.0, noise_scale_w=0.0,
+        )
+        wav_ref = tm.infer_decode_chunk(
+            dec_in_ref, sid=_to_torch(np.array([1])).long()
+        ).numpy()  # [1, 1, T]
+
+    converted = C.convert_synthesizer(
+        tm.state_dict(), n_layers_text=2, n_kernels=1, resblock_convs=3
+    )
+    m = SynthesizerTrn(**kwargs)
+    t_y_ref = wav_ref.shape[-1] // 256
+    wav, y_mask, y_len = m.apply(
+        converted, jnp.asarray(x), jnp.asarray(t), jnp.asarray([10]),
+        sid=jnp.asarray([1]), rng=jax.random.PRNGKey(0),
+        noise_scale=0.0, noise_scale_w=0.0, max_frames=max(t_y_ref, 8),
+        method=SynthesizerTrn.infer,
+    )
+    assert int(np.asarray(y_len)[0]) == t_y_ref, (
+        int(np.asarray(y_len)[0]), t_y_ref,
+    )
+    n = t_y_ref * 256
+    ours = np.asarray(wav)[0, :n, 0]
+    ref = wav_ref[0, 0, :n]
+    np.testing.assert_allclose(ours, ref, rtol=1e-2, atol=1e-4)
+
+    # the BASELINE.md criterion: mel-L1 < 1e-3 on identical weights
+    mel_ours = np.asarray(
+        mel_spectrogram(jnp.asarray(ours[None]), 1024, 80, 22050, 256, 1024, 0.0, None)
+    )
+    mel_ref = np.asarray(
+        mel_spectrogram(jnp.asarray(ref[None]), 1024, 80, 22050, 256, 1024, 0.0, None)
+    )
+    mel_l1 = np.abs(mel_ours - mel_ref).mean()
+    assert mel_l1 < 1e-3, mel_l1
