@@ -19,3 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent XLA compile cache: the train-step/loop tests compile for minutes
+# on CPU; cached across test sessions this drops to seconds
+from vits_tpu.utils.compilation_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
