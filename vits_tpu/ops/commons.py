@@ -101,6 +101,11 @@ def intersperse_with_language_id(text, lang, item):
     return out_text, out_lang
 
 
+def subsequent_mask(length: int) -> jax.Array:
+    """Lower-triangular causal mask [1, 1, T, T] (reference commons.py:58-60)."""
+    return jnp.tril(jnp.ones((length, length)))[None, None]
+
+
 def crop_scope(
     x: jax.Array, yin_start: int, yin_scope: int, scope_shift: jax.Array
 ) -> jax.Array:

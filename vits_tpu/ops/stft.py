@@ -165,6 +165,16 @@ def spec_to_mel(
     return jnp.log(jnp.clip(mel, min=1e-5))
 
 
+def spectral_normalize(x: jax.Array, clip_val: float = 1e-5) -> jax.Array:
+    """Dynamic-range compression log(clamp(x, clip)) (mel_processing.py:7-31)."""
+    return jnp.log(jnp.clip(x, min=clip_val))
+
+
+def spectral_de_normalize(x: jax.Array) -> jax.Array:
+    """Inverse of spectral_normalize (mel_processing.py:17-39)."""
+    return jnp.exp(x)
+
+
 def mel_spectrogram(
     y: jax.Array,
     n_fft: int,
