@@ -68,7 +68,8 @@ def main():
         functools.partial(
             train_step, model=model, disc=disc,
             optim_g=optim_g, optim_d=optim_d, hps=hps,
-        )
+        ),
+        donate_argnums=(0,),
     )
     t0 = time.perf_counter()
     state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))

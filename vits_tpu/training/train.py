@@ -134,7 +134,8 @@ def run(hps, initial_run: bool = False) -> None:
         functools.partial(
             train_step, model=model, disc=disc,
             optim_g=optim_g, optim_d=optim_d, hps=hps,
-        )
+        ),
+        donate_argnums=(0,),  # donate the old TrainState buffers
     )
 
     base_rng = jax.random.PRNGKey(hps.train.seed)
