@@ -1,0 +1,63 @@
+"""Serving engine end-to-end on a tiny config: synthesize + chunked decode
+consistency (random weights; decode is deterministic given the latent)."""
+
+import numpy as np
+import pytest
+import yaml
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    d = tmp_path_factory.mktemp("engine")
+    cfg = {
+        "train": {"segment_size": 2048},
+        "data": {
+            "sampling_rate": 22050, "filter_length": 1024, "hop_length": 256,
+            "win_length": 1024, "n_mel_channels": 80, "mel_fmin": 0.0,
+            "mel_fmax": None, "add_blank": True, "speakers": ["A", "B"],
+            "midi_start": -5, "midi_end": 75, "midis": 80,
+            "ying_window": 2048, "ying_hop": 256, "tau_max": 2048,
+            "octave_range": 24,
+        },
+        "model": {
+            "inter_channels": 96, "hidden_channels": 48, "filter_channels": 64,
+            "n_heads": 2, "n_layers": 1, "kernel_size": 3, "p_dropout": 0.0,
+            "resblock": "1", "resblock_kernel_sizes": [3],
+            "resblock_dilation_sizes": [[1, 3]],
+            "upsample_rates": [8, 8, 2, 2], "upsample_initial_channel": 32,
+            "upsample_kernel_sizes": [16, 16, 4, 4], "gin_channels": 16,
+            "yin_channels": 80, "yin_start": 15, "yin_scope": 50,
+            "yin_shift_range": 15,
+        },
+    }
+    p = d / "config.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    from vits_tpu.serve.engine import TTSEngine
+
+    return TTSEngine(str(p), checkpoint_path=None, max_frames=96)
+
+
+def test_engine_synthesize(engine):
+    phones, (sr, audio) = engine.synthesize("[P]ni3#hao3[P]", 0, seed=1)
+    assert sr == 22050
+    assert audio.ndim == 1 and len(audio) > 0
+    assert np.isfinite(audio).all()
+    assert phones == "ni↓↑ xɑʊ↓↑"
+
+
+def test_engine_chunked_matches_full(engine):
+    text = "[P]ni3#hao3 ni3#hao3[P]"
+    _, (sr, full) = engine.synthesize(text, 1, seed=2)
+    _, (sr2, chunked) = engine.synthesize_chunked(
+        text, 1, seed=2, chunk_frames=16, overlap_frames=16
+    )
+    n = min(len(full), len(chunked))
+    assert n > 0
+    err = np.abs(full[:n] - chunked[:n])
+    rms = np.sqrt((full[:n] ** 2).mean()) + 1e-9
+    assert err.max() < 0.05 * rms + 1e-3, (err.max(), rms)
+
+
+def test_engine_empty_text_raises(engine):
+    with pytest.raises(ValueError):
+        engine.synthesize("untagged text only", 0)

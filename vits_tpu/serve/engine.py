@@ -85,6 +85,11 @@ class TTSEngine:
         """Tagged text -> (ids, lang ids, IPA string) (reference app.py:48-58)."""
         cleaned_text, lang = clean_text(text)
         seq = cleaned_text_to_sequence(cleaned_text)
+        if not seq:
+            raise ValueError(
+                "empty phoneme sequence — input must contain language-tagged "
+                "blocks like [EN]...[EN], [ZH]...[ZH], [JA]...[JA], [P]...[P]"
+            )
         if self.hps.data.add_blank:
             seq, lang = intersperse_with_language_id(seq, lang, 0)
         return np.asarray(seq, np.int32), np.asarray(lang, np.int32), cleaned_text
