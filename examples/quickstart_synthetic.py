@@ -14,10 +14,14 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 import numpy as np
 import scipy.io.wavfile
 import yaml
+
+# allow running as a plain script from the repo root without pip install -e
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_dataset(workdir: str, n_utts: int = 64, sr: int = 22050):
