@@ -18,7 +18,12 @@ from vits_tpu.training.step import (
     make_optimizer,
     train_step,
 )
-from vits_tpu.parallel.mesh import make_mesh, shard_batch, replicate_state
+from vits_tpu.parallel.mesh import (
+    local_batch_rows,
+    make_mesh,
+    replicate_state,
+    shard_batch,
+)
 
 
 HPS = HParams(
@@ -143,3 +148,43 @@ def test_train_step_data_parallel_equivalence(setup):
     a = jax.tree_util.tree_leaves(single_state.g_params)[0]
     b = jax.tree_util.tree_leaves(mesh_state.g_params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-5)
+
+
+def test_multihost_batch_assembly_contract():
+    """shard_batch assembles per-process rows via
+    jax.make_array_from_process_local_data. With one process that must equal
+    a plain device_put onto the same sharding, and the per-device shards must
+    equal the slices each host's ids[rank::num_replicas] sampler stride would
+    deliver (reference DistributedBucketSampler.py:127-129)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": rng.integers(0, 30, (8, 9)),
+        "spec": rng.standard_normal((8, 16, 13)).astype(np.float32),
+    }
+    assembled = shard_batch(batch, mesh)
+    put = {
+        k: jax.device_put(v, NamedSharding(mesh, P("data")))
+        for k, v in batch.items()
+    }
+    for k in batch:
+        assert assembled[k].sharding == put[k].sharding
+        np.testing.assert_array_equal(np.asarray(assembled[k]), np.asarray(put[k]))
+
+    # emulate 2 hosts x 4 devices: host r's sampler draws the r::2 row stride;
+    # the assembled global array is the concatenation of host shards in
+    # mesh-device order, so device d holds emulated_global[d].
+    host_rows = [batch["spec"][r::2] for r in range(2)]
+    emulated_global = np.concatenate(host_rows, axis=0)
+    re_assembled = shard_batch({"spec": emulated_global}, mesh)
+    for shard in re_assembled["spec"].addressable_shards:
+        np.testing.assert_array_equal(
+            np.asarray(shard.data), emulated_global[shard.index]
+        )
+
+    # local_batch_rows: each process feeds an equal share of the global batch
+    assert local_batch_rows(8) == 8 // jax.process_count()

@@ -72,11 +72,41 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Device-put a host batch with the leading axis sharded over 'data'."""
+    """Assemble a global batch (leading axis sharded over 'data') from this
+    process's host-local rows.
+
+    Multi-host contract (reference DistributedBucketSampler.py:127-129): each
+    host's sampler yields the `ids[rank::num_replicas]` stride, i.e. every
+    host holds DIFFERENT rows; `jax.make_array_from_process_local_data`
+    assembles them into one global array whose shards live on each host's
+    addressable devices — no host ever materializes the global batch. With one
+    process this is exactly `jax.device_put` onto the sharding (asserted by
+    tests/test_train_step.py). Row order across hosts follows mesh device
+    order; DP training is order-invariant (mean-reduced losses).
+    """
     sh = batch_sharding(mesh)
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    return {
+        k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+        for k, v in batch.items()
+    }
 
 
 def replicate_state(state: Any, mesh: Mesh) -> Any:
+    # Multi-host: every process passes the same host-local value (same seed
+    # -> same init), which jax.device_put accepts for a fully-replicated
+    # global sharding.
     rep = replicated(mesh)
     return jax.device_put(state, rep)
+
+
+def local_batch_rows(global_batch_size: int) -> int:
+    """Rows THIS process must feed per step so the assembled global batch has
+    `global_batch_size` rows. With the `ids[rank::num_replicas]` sampler
+    stride, every process contributes an equal share."""
+    n_proc = jax.process_count()
+    if global_batch_size % n_proc != 0:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by "
+            f"process count {n_proc}"
+        )
+    return global_batch_size // n_proc

@@ -43,17 +43,23 @@ class TrainState(struct.PyTreeNode):
     d_opt_state: Any
 
 
-def make_optimizer(hps, steps_per_epoch: int) -> optax.GradientTransformation:
-    """AdamW with per-epoch exponential decay (reference train.py:161-173,
-    190-195; torch AdamW default weight_decay=1e-2)."""
-    schedule = optax.exponential_decay(
+def lr_schedule(hps, steps_per_epoch: int) -> optax.Schedule:
+    """The per-epoch exponential-decay schedule (reference train.py:190-195:
+    ExponentialLR stepped once per epoch). Exposed so the train loop logs the
+    actual schedule value instead of re-deriving it arithmetically."""
+    return optax.exponential_decay(
         init_value=float(hps.train.learning_rate),
         transition_steps=max(steps_per_epoch, 1),
         decay_rate=float(hps.train.lr_decay),
         staircase=True,
     )
+
+
+def make_optimizer(hps, steps_per_epoch: int) -> optax.GradientTransformation:
+    """AdamW with per-epoch exponential decay (reference train.py:161-173,
+    190-195; torch AdamW default weight_decay=1e-2)."""
     return optax.adamw(
-        schedule,
+        lr_schedule(hps, steps_per_epoch),
         b1=float(hps.train.betas[0]),
         b2=float(hps.train.betas[1]),
         eps=float(hps.train.eps),

@@ -29,7 +29,12 @@ from vits_tpu.data.dataset import (
 )
 from vits_tpu.models.avocodo import AvocodoDiscriminator
 from vits_tpu.models.synthesizer import SynthesizerTrn
-from vits_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+from vits_tpu.parallel.mesh import (
+    local_batch_rows,
+    make_mesh,
+    replicate_state,
+    shard_batch,
+)
 from vits_tpu.text.symbols import symbols
 from vits_tpu.training.checkpoint import (
     latest_checkpoint,
@@ -37,7 +42,13 @@ from vits_tpu.training.checkpoint import (
     save_checkpoint,
 )
 from vits_tpu.training.evaluate import evaluate
-from vits_tpu.training.step import create_train_state, make_optimizer, train_step
+from vits_tpu.training.step import (
+    create_train_state,
+    lr_schedule,
+    make_optimizer,
+    train_step,
+)
+from vits_tpu.utils.profiling import StepTimer, trace
 from vits_tpu.utils.logging_utils import (
     check_git_hash,
     get_logger,
@@ -84,7 +95,11 @@ def run(hps, initial_run: bool = False) -> None:
     boundaries = list(hps.data.get("bucket_boundaries",
                                    [32, 300, 400, 500, 600, 700, 800, 900,
                                     1000, 1100, 1200, 1300, 1400, 1500]))
-    per_host_batch = hps.train.batch_size
+    # hps.train.batch_size is the GLOBAL batch; each host's sampler feeds its
+    # 1/num_processes share (reference semantics: per-rank loaders over the
+    # ids[rank::num_replicas] stride, DistributedBucketSampler.py:127-129).
+    global_batch = hps.train.batch_size
+    per_host_batch = local_batch_rows(global_batch)
     sampler = DistributedBucketSampler(
         train_ds.lengths, per_host_batch, boundaries,
         num_replicas=num_processes, rank=process_index, shuffle=True,
@@ -119,16 +134,28 @@ def run(hps, initial_run: bool = False) -> None:
         state, epoch_start = load_checkpoint(ckpt, state)
         logger.info("resumed from %s (epoch %d)", ckpt, epoch_start)
 
-    devices = jax.devices()
-    # mesh size = largest device count that divides the per-host batch (the
-    # duplicated-batch trick means 2B rows; B-divisibility suffices)
-    n_mesh = len(devices)
-    while n_mesh > 1 and per_host_batch % n_mesh != 0:
-        n_mesh -= 1
+    # Mesh sized from GLOBAL devices, dividing the GLOBAL batch. Multi-host
+    # jit requires every process's devices to participate, so with >1 process
+    # the global batch must divide evenly over all devices.
+    n_global = jax.device_count()
+    if num_processes > 1:
+        if global_batch % n_global != 0:
+            raise ValueError(
+                f"global batch {global_batch} must be divisible by the "
+                f"global device count {n_global} for multi-host DP"
+            )
+        n_mesh = n_global
+    else:
+        n_mesh = n_global
+        while n_mesh > 1 and global_batch % n_mesh != 0:
+            n_mesh -= 1
     mesh = make_mesh(n_mesh) if n_mesh > 1 else None
     if mesh is not None:
         state = replicate_state(state, mesh)
-        logger.info("data-parallel mesh over %d devices", n_mesh)
+        logger.info(
+            "data-parallel mesh over %d devices (%d process(es), "
+            "global batch %d)", n_mesh, num_processes, global_batch,
+        )
 
     step_fn = jax.jit(
         functools.partial(
@@ -140,6 +167,9 @@ def run(hps, initial_run: bool = False) -> None:
 
     base_rng = jax.random.PRNGKey(hps.train.seed)
     global_step = int(state.step)
+    schedule = lr_schedule(hps, steps_per_epoch)
+    timer = StepTimer()
+    profile_at = int(hps.train.get("profile_step", 0))  # 0 = off
     log_interval = hps.train.log_interval
     eval_interval = hps.train.eval_interval
     save_interval = hps.train.get("save_interval", 200)
@@ -151,15 +181,20 @@ def run(hps, initial_run: bool = False) -> None:
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
             rng = jax.random.fold_in(base_rng, global_step)
-            state, metrics = step_fn(state, batch, rng)
+            if profile_at and global_step == profile_at:
+                # one traced step, viewable in TensorBoard/Perfetto
+                with trace(hps.model_dir):
+                    state, metrics = step_fn(state, batch, rng)
+                    jax.block_until_ready(metrics["loss/g/total"])
+            else:
+                state, metrics = step_fn(state, batch, rng)
             global_step += 1
+            timer.tick()
 
             if global_step % log_interval == 0:
                 scalars = {k: float(v) for k, v in metrics.items()}
-                scalars["learning_rate"] = float(
-                    hps.train.learning_rate
-                    * hps.train.lr_decay ** (global_step // steps_per_epoch)
-                )
+                scalars["learning_rate"] = float(schedule(global_step))
+                scalars["perf/steps_per_sec"] = timer.steps_per_sec()
                 summarize(writer, global_step, scalars=scalars)
                 logger.info(
                     "step %d | g %.4f d %.4f",
