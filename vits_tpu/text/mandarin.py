@@ -4,9 +4,10 @@ Behavioral reference: /root/reference/text/mandarin.py and text/paddle_zh.py.
 The pinyin->bopomofo and bopomofo->IPA tables encode the standard Zhuyin /
 IPA correspondences (same linguistic mapping as the reference; re-stated).
 
-The raw-pinyin [P] path is pure python. The full hanzi [ZH] path needs a
-hanzi->pinyin source: pypinyin (+ jieba word segmentation, tone sandhi)
-when installed; otherwise a clear error directs users to the [P] format.
+Both paths are dependency-free: the raw-pinyin [P] path is pure python, and
+the full hanzi [ZH] path runs on the vendored lexicon + frontend in
+vits_tpu.text.zh_frontend (jieba used for segmentation when present, with a
+greedy lexicon fallback).
 """
 
 from __future__ import annotations
@@ -138,6 +139,9 @@ def _clean_zh(text: str) -> str:
     text = bopomofo_to_ipa(text)
     text = re.sub("i([aoe])", r"j\1", text)
     text = re.sub("u([aoəe])", r"w\1", text)
+    # erhua coda marker '&' (from zh_frontend._merge_erhua): retroflex the
+    # rhyme, deleting a final alveolar nasal (wan + er -> waɻ)
+    text = re.sub("n?([→↓↑]*)&", r"ɻ\1", text)
     text = re.sub("([sɹ]`[⁼ʰ]?)([→↓↑ ]+|$)", r"\1ɹ`\2", text).replace("ɻ", "ɹ`")
     text = re.sub("(s[⁼ʰ]?)([→↓↑ ]+|$)", r"\1ɹ\2", text)
     return text
@@ -155,48 +159,18 @@ def pinyin_to_ipa(text: str) -> str:
     return text.replace("%", " %").replace("$", " $")
 
 
-def _hanzi_to_pinyin(text: str) -> str:
-    """hanzi -> tone-numbered pinyin with # separators. Requires pypinyin
-    (+ jieba for segmentation), the reference's own backing libraries
-    (text/frontend/zh_frontend.py:88-120)."""
-    try:
-        import jieba
-        import pypinyin
-    except ImportError as e:  # pragma: no cover - env dependent
-        raise ImportError(
-            "Hanzi input ([ZH] blocks) requires pypinyin + jieba; install "
-            "them or use tone-numbered raw pinyin via [P] blocks."
-        ) from e
-    from pypinyin import Style
-
-    from vits_tpu.text.tone_sandhi import cross_word_third_tone, modified_tone
-
-    words = [w for w in jieba.cut(text) if w.strip()]
-    hanzi_sylls: list[list[str] | None] = []
-    for w in words:
-        if re.match(r"^[一-鿿]+$", w):
-            py = pypinyin.lazy_pinyin(
-                w, style=Style.TONE3, neutral_tone_with_five=True
-            )
-            hanzi_sylls.append(modified_tone(w, py))
-        else:
-            hanzi_sylls.append(None)  # literal passthrough
-    sandhi = cross_word_third_tone([s or [] for s in hanzi_sylls])
-    out = []
-    for w, s, s2 in zip(words, hanzi_sylls, sandhi):
-        out.append(" ".join(s2) if s is not None else w)
-    return "#".join(out)
-
-
-def chinese_to_ipa(text: str) -> str:
-    """Full hanzi path (reference mandarin.py:119-123): NSW normalization ->
-    punctuation -> segmentation+pinyin (+tone sandhi) -> bopomofo -> IPA."""
+def chinese_to_ipa(text: str, with_erhua: bool = False) -> str:
+    """Full hanzi path (reference mandarin.py:119-123): trad->simp + NSW
+    normalization -> punctuation -> segmentation + pinyin + tone sandhi
+    (vits_tpu.text.zh_frontend, dependency-free) -> bopomofo -> IPA."""
+    from vits_tpu.text.zh_frontend import hanzi_to_pinyin
     from vits_tpu.text.zh_normalization import TextNormalizer
 
+    text = text.replace("嗯", "恩")  # reference zh_frontend.py:263
     text = TextNormalizer().normalize(text)
     text = number_to_chinese(text)  # safety net for leftovers
     text = pu_symbol_replace(text)
-    pinyin = _hanzi_to_pinyin(text)
+    pinyin = hanzi_to_pinyin(text, with_erhua=with_erhua)
     text = bopomofo(pinyin)
     text = text.replace(" ", "").replace("#", " ")
     return _clean_zh(text)

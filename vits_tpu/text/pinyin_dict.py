@@ -1,0 +1,1159 @@
+"""Vendored hanzi -> tone-numbered-pinyin lexicon (dependency-free [ZH] path).
+
+The reference resolves readings through pypinyin + its phrase dictionaries
+(text/frontend/zh_frontend.py:88-103); that package is not available here, so
+the standard Mandarin readings are vendored as data: a per-character table of
+the most common reading for ~2,500 highest-frequency characters (frequency
+order taken from jieba's dictionary) plus a phrase table that disambiguates
+common heteronyms (banking 行 hang2 vs. conduct 行 xing2, etc. — same role as
+pypinyin's phrase_pinyin_data).
+
+Conventions (pypinyin-compatible): tone digits 1-4, neutral tone 5,
+'v' for the u-umlaut vowel after l/n (lv4, nv3).
+
+These tables are linguistic constants (standard Mandarin readings), written
+for this project; they are data, not code, and the per-character accuracy is
+exercised by tests/test_text.py golden sentences.
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------------------
+# Per-character default readings, ordered by corpus frequency.
+# Format: <char><pinyin-with-tone> tokens separated by whitespace.
+# ---------------------------------------------------------------------------
+
+_CHAR_DATA = """
+一yi1 是shi4 人ren2 了le5 不bu4 在zai4 有you3 大da4 中zhong1 国guo2 和he2
+为wei4 这zhe4 上shang4 他ta1 个ge4 地de5 年nian2 来lai2 我wo3 会hui4 以yi3
+到dao4 时shi2 要yao4 出chu1 的de5 生sheng1 学xue2 说shuo1 道dao4 民min2
+家jia1 子zi3 也ye3 成cheng2 行xing2 下xia4 们men5 于yu2 后hou4 就jiu4 发fa1
+自zi4 之zhi1 对dui4 得de2 主zhu3 长chang2 可ke3 过guo4 天tian1 作zuo4
+分fen1 方fang1 用yong4 多duo1 你ni3 着zhe5 部bu4 能neng2 市shi4 等deng3
+业ye4 全quan2 里li3 工gong1 公gong1 经jing1 本ben3 都dou1 而er2 高gao1
+政zheng4 法fa3 面mian4 门men2 动dong4 日ri4 进jin4 区qu1 事shi4 代dai4
+那na4 去qu4 心xin1 小xiao3 同tong2 北bei3 定ding4 开kai1 产chan3 前qian2
+其qi2 军jun1 还hai2 然ran2 起qi3 种zhong3 所suo3 如ru2 现xian4 理li3
+机ji1 体ti3 表biao3 力li4 好hao3 外wai4 与yu3 文wen2 当dang1 两liang3
+实shi2 重zhong4 新xin1 三san1 么me5 只zhi3 山shan1 水shui3 关guan1
+明ming2 从cong2 化hua4 平ping2 建jian4 又you4 制zhi4 南nan2 内nei4
+西xi1 没mei2 此ci3 将jiang1 员yuan2 名ming2 手shou3 最zui4 东dong1
+头tou2 者zhe3 月yue4 间jian1 无wu2 安an1 看kan4 见jian4 各ge4
+城cheng2 十shi2 相xiang1 但dan4 已yi3 些xie1 正zheng4 口kou3 通tong1
+想xiang3 度du4 加jia1 第di4 她ta1 合he2 院yuan4 物wu4 性xing4 战zhan4
+由you2 位wei4 常chang2 点dian3 海hai3 意yi4 场chang3 武wu3 使shi3
+次ci4 二er4 向xiang4 治zhi4 因yin1 立li4 数shu4 样yang4 身shen1
+情qing2 入ru4 原yuan2 问wen4 把ba3 路lu4 被bei4 并bing4 利li4 石shi2
+老lao3 教jiao4 万wan4 知zhi1 级ji2 量liang4 任ren4 江jiang1 及ji2
+应ying1 省sheng3 资zi1 委wei3 务wu4 元yuan2 美mei3 特te4 期qi1
+世shi4 湖hu2 回hui2 系xi4 比bi3 气qi4 汉han4 总zong3 展zhan3
+电dian4 科ke1 金jin1 先xian1 声sheng1 提ti2 品pin3 设she4 或huo4
+义yi4 王wang2 社she4 很hen3 统tong3 处chu4 四si4 首shou3 共gong4
+马ma3 形xing2 己ji3 儿er2 司si1 太tai4 目mu4 基ji1 领ling3 队dui4
+直zhi2 计ji4 别bie2 女nv3 权quan2 话hua4 少shao3 流liu2 命ming4
+至zhi4 报bao4 米mi3 给gei3 打da3 变bian4 果guo3 书shu1 清qing1
+活huo2 几ji3 州zhou1 华hua2 解jie3 议yi4 更geng4 称cheng1 程cheng2
+今jin1 决jue2 张zhang1 导dao3 术shu4 府fu3 才cai2 保bao3 交jiao1
+放fang4 管guan3 结jie2 师shi1 便bian4 走zou3 达da2 族zu2 反fan3
+再zai4 题ti2 色se4 五wu3 京jing1 河he2 接jie1 条tiao2 规gui1
+式shi4 县xian4 白bai2 它ta1 改gai3 风feng1 光guang1 运yun4 信xin4
+受shou4 什shen2 组zu3 听ting1 布bu4 百bai3 济ji4 党dang3 指zhi3
+论lun4 强qiang2 做zuo4 取qu3 技ji4 黄huang2 神shen2 选xuan3 记ji4
+斯si1 真zhen1 却que4 职zhi2 号hao4 界jie4 件jian4 花hua1 类lei4
+何he2 眼yan3 兵bing1 传chuan2 带dai4 空kong1 干gan4 农nong2 边bian1
+据ju4 集ji2 联lian2 古gu3 广guang3 完wan2 质zhi4 阳yang2 难nan2
+增zeng1 历li4 史shi3 专zhuan1 官guan1 每mei3 住zhu4 商shang1 即ji2
+步bu4 认ren4 车che1 台tai2 林lin2 必bi4 死si3 游you2 举ju3 线xian4
+言yan2 皇huang2 土tu3 团tuan2 收shou1 考kao3 求qiu2 德de2 叫jiao4
+近jin4 备bei4 研yan2 争zheng1 非fei1 具ju4 李li3 众zhong4 连lian2
+调diao4 感gan3 转zhuan3 笑xiao4 革ge2 该gai1 持chi2 始shi3 英ying1
+克ke4 士shi4 尔er3 让rang4 拉la1 思si1 根gen1 格ge2 造zao4 较jiao4
+际ji4 亲qin1 单dan1 朝chao2 红hong2 型xing2 价jia4 校xiao4 约yue1
+器qi4 字zi4 段duan4 周zhou1 亚ya4 深shen1 候hou4 则ze2 功gong1
+属shu3 积ji1 快kuai4 图tu2 火huo3 千qian1 准zhun3 究jiu1 往wang3
+极ji2 育yu4 装zhuang1 许xu3 参can1 半ban4 令ling4 吃chi1 观guan1
+鱼yu2 精jing1 办ban4 像xiang4 帝di4 八ba1 复fu4 影ying3 告gao4
+远yuan3 群qun2 包bao1 整zheng3 构gou4 料liao4 随sui2 划hua4
+算suan4 象xiang4 容rong2 示shi4 投tou2 势shi4 热re4 值zhi2 夫fu1
+网wang3 望wang4 源yuan2 息xi1 语yu3 股gu3 铁tie3 断duan4 派pai4
+速su4 怎zen3 需xu1 片pian4 爱ai4 律lv4 纪ji4 支zhi1 早zao3
+况kuang4 病bing4 境jing4 证zheng4 编bian1 越yue4 局ju2 推tui1
+满man3 且qie3 列lie4 觉jue2 服fu2 双shuang1 未wei4 居ju1 除chu2
+乐le4 企qi3 引yin3 标biao1 确que4 织zhi1 初chu1 青qing1 志zhi4
+率lv4 项xiang4 飞fei1 球qiu2 节jie2 察cha2 龙long2 响xiang3
+药yao4 站zhan4 施shi1 均jun1 消xiao1 客ke4 失shi1 轻qing1 存cun2
+低di1 甚shen4 般ban1 击ji1 曾ceng2 防fang2 请qing3 离li2 落luo4
+显xian3 罗luo2 营ying2 足zu2 素su4 视shi4 护hu4 副fu4 食shi2
+创chuang4 余yu2 照zhao4 兴xing1 占zhan4 巴ba1 虽sui1 洲zhou1
+村cun1 费fei4 易yi4 试shi4 星xing1 木mu4 黑hei1 左zuo3 宝bao3
+置zhi4 跟gen1 央yang1 识shi2 维wei2 采cai3 六liu4 底di3 宫gong1
+房fang2 音yin1 环huan2 案an4 批pi1 切qie4 斗dou4 富fu4 乡xiang1
+另ling4 倒dao4 若ruo4 按an4 查cha2 故gu4 突tu1 责ze2 严yan2
+桥qiao2 模mo2 仅jin3 胜sheng4 杀sha1 围wei2 席xi2 态tai4 破po4
+承cheng2 招zhao1 杨yang2 负fu4 层ceng2 须xu1 父fu4 供gong1 续xu4
+状zhuang4 域yu4 似si4 依yi1 银yin2 范fan4 修xiu1 找zhao3 九jiu3
+致zhi4 密mi4 终zhong1 血xue4 旅lv3 钱qian2 赛sai4 独du2 细xi4
+效xiao4 玉yu4 冲chong1 获huo4 习xi2 医yi1 演yan3 毛mao2 尽jin3
+脸lian3 弹dan4 楼lou2 艺yi4 航hang2 陆lu4 右you4 协xie2 七qi1
+攻gong1 镇zhen4 检jian3 写xie3 苏su1 宗zong1 章zhang1 注zhu4
+阿a1 抗kang4 弟di4 坐zuo4 验yan4 封feng1 紧jin3 劳lao2 户hu4
+优you1 财cai2 养yang3 适shi4 陈chen2 喜xi3 卫wei4 排pai2 射she4
+哥ge1 油you2 刻ke4 留liu2 急ji2 降jiang4 念nian4 云yun2 微wei1
+伤shang1 例li4 景jing3 拿na2 绝jue2 阶jie1 座zuo4 刘liu2 刚gang1
+害hai4 印yin4 亿yi4 沙sha1 母mu3 酒jiu3 助zhu4 闻wen2 超chao1
+审shen3 待dai4 压ya1 升sheng1 送song4 监jian1 策ce4 略lve4 限xian4
+竟jing4 香xiang1 配pei4 藏cang2 敌di2 呢ne5 差cha4 仍reng2 兰lan2
+温wen1 园yuan2 树shu4 征zheng1 善shan4 波bo1 哪na3 词ci2 岛dao3
+止zhi3 预yu4 怕pa4 继ji4 皮pi2 执zhi2 味wei4 份fen4 角jiao3
+草cao3 男nan2 普pu3 答da2 益yi4 谁shei2 船chuan2 惊jing1 核he2
+街jie1 夏xia4 宣xuan1 掌zhang3 田tian2 久jiu3 著zhu4 画hua4
+辑ji2 奇qi2 尼ni2 剑jian4 吧ba5 谈tan2 背bei4 免mian3 孩hai2
+礼li3 材cai2 愿yuan4 洋yang2 春chun1 架jia4 筑zhu4 括kuo4 晚wan3
+乱luan4 乎hu1 讲jiang3 尚shang4 良liang2 友you3 临lin2 激ji1
+刀dao1 夜ye4 室shi4 既ji4 敢gan3 邦bang1 挥hui1 昌chang1 板ban3
+胡hu2 欧ou1 福fu2 港gang3 叶ye4 简jian3 苦ku3 担dan1 句ju4
+岁sui4 荆jing1 贵gui4 娘niang2 守shou3 辖xia2 威wei1 宜yi2 衣yi1
+帮bang1 块kuai4 堂tang2 额e2 错cuo4 剧ju4 充chong1 欢huan1
+够gou4 孙sun1 班ban1 呼hu1 阵zhen4 销xiao1 坚jian1 练lian4
+脚jiao3 退tui4 读du2 测ce4 吴wu2 希xi1 宁ning2 换huan4 版ban3
+异yi4 某mou3 顾gu4 曲qu3 楚chu3 典dian3 朱zhu1 毒du2 菜cai4
+判pan4 救jiu4 宋song4 茶cha2 洪hong2 含han2 顺shun4 啊a5
+鲜xian1 败bai4 货huo4 矿kuang4 端duan1 兄xiong1 归gui1 冷leng3
+忙mang2 买mai3 险xian3 康kang1 评ping2 肉rou4 吗ma5 厂chang3
+永yong3 哈ha1 沉chen2 散san4 遗yi2 停ting2 笔bi3 假jia3 输shu1
+牛niu2 洞dong4 松song1 渐jian4 顶ding3 训xun4 录lu4 否fou3
+述shu4 毕bi4 督du1 控kong4 丰feng1 献xian4 姑gu1 忽hu1 爷ye2
+互hu4 亮liang4 纳na4 襄xiang1 登deng1 咱zan2 钟zhong1 伯bo2
+臣chen2 雄xiong2 季ji4 脑nao3 介jie4 鄂e4 召zhao4 饭fan4 暗an4
+扩kuo4 祖zu3 齐qi2 短duan3 烈lie4 赶gan3 牌pai2 恩en1 诉su4
+移yi2 诗shi1 础chu3 露lu4 届jie4 蒙meng2 静jing4 喝he1 盘pan2
+卖mai4 植zhi2 授shou4 伊yi1 湾wan1 博bo2 痛tong4 减jian3
+穿chuan1 逐zhu2 秘mi4 庭ting2 陵ling2 固gu4 禁jin4 票piao4
+灵ling2 杂za2 姓xing4 泽ze2 吸xi1 侧ce4 庆qing4 妈ma1 遇yu4
+追zhui1 甲jia3 馆guan3 补bu3 唐tang2 炮pao4 沿yan2 殿dian4
+刺ci4 怪guai4 彩cai3 俄e2 旧jiu4 警jing3 索suo3 岸an4 轮lun2
+妇fu4 载zai4 靠kao4 附fu4 毫hao2 怀huai2 软ruan3 骨gu3 探tan4
+雷lei2 旁pang2 罪zui4 枪qiang1 牙ya2 迎ying2 序xu4 慢man4
+盛sheng4 雨yu3 墙qiang2 恶e4 谷gu3 顿dun4 危wei1 稳wen3 熟shu2
+概gai4 酸suan1 操cao1 诸zhu1 绿lv4 佛fo2 荣rong2 针zhen1 托tuo1
+宽kuan1 折zhe2 野ye3 付fu4 午wu3 肯ken3 库ku4 厚hou4 缺que1
+罢ba4 耳er3 屋wu1 嘴zui3 末mo4 谢xie4 巨ju4 培pei2 页ye4 瓦wa3
+款kuan3 犯fan4 困kun4 店dian4 智zhi4 拥yong1 雪xue3 翻fan1
+圣sheng4 戏xi4 旗qi2 吉ji2 婚hun1 奖jiang3 岩yan2 疑yi2 币bi4
+圆yuan2 歌ge1 廷ting2 健jian4 卡ka3 烧shao1 析xi1 讨tao3 跑pao3
+烟yan1 误wu4 仙xian1 疗liao2 舞wu3 亡wang2 闭bi4 汽qi4 伸shen1
+脱tuo1 秋qiu1 姐jie3 繁fan2 侵qin1 川chuan1 莫mo4 麻ma2 秀xiu4
+借jie4 寻xun2 私si1 岗gang3 卷juan4 跳tiao4 丽li4 横heng2
+驻zhu4 套tao4 兼jian1 您nin2 君jun1 丁ding1 束shu4 纸zhi3
+夺duo2 袁yuan2 灯deng1 坏huai4 坦tan3 丝si1 径jing4 购gou4
+阴yin1 床chuang2 瞧qiao2 择ze2 墓mu4 宪xian4 峰feng1 遍bian4
+鲁lu3 庙miao4 掉diao4 丹dan1 桃tao2 御yu4 舰jian4 避bi4 售shou4
+怒nu4 课ke4 播bo1 拔ba2 奥ao4 延yan2 虚xu1 隐yin3 粮liang2
+络luo4 遭zao1 摇yao2 潜qian2 庄zhuang1 混hun4 厅ting1 婆po2
+奴nu2 鼓gu3 赵zhao4 访fang3 睡shui4 震zhen4 予yu3 童tong2
+徐xu2 韦wei2 殖zhi2 抓zhua1 拜bai4 吨dun1 扬yang2 址zhi3
+洛luo4 休xiu1 纵zong4 逃tao2 染ran3 纷fen1 贸mao4 透tou4
+汇hui4 灭mie4 蛋dan4 森sen1 仪yi2 塔ta3 距ju4 狐hu2 融rong2
+郡jun4 缓huan3 聚ju4 盖gai4 拍pai1 迹ji4 忠zhong1 释shi4
+润run4 粉fen3 涓juan1 孔kong3 岭ling3 搜sou1 紫zi3 虑lv4
+促cu4 抵di3 钢gang1 塞sai1 寺si4 津jin1 液ye4 码ma3 虎hu3
+坛tan2 珍zhen1 硬ying4 梁liang2 奔ben1 累lei4 役yi4 偏pian1
+迫po4 凡fan2 损sun3 壁bi4 哭ku1 替ti4 税shui4 综zong1 伦lun2
+冰bing1 盟meng2 挂gua4 韩han2 竞jing4 乌wu1 尤you2 弱ruo4
+铺pu4 妹mei4 秦qin2 尊zun1 竹zhu2 珠zhu1 迅xun4 脉mai4 泥ni2
+鬼gui3 纯chun2 睛jing1 刑xing2 途tu2 隆long2 潮chao2 幅fu2
+杯bei1 握wo4 谋mou2 剂ji4 幸xing4 奉feng4 乘cheng2 抱bao4
+朋peng2 谓wei4 频pin2 崇chong2 壮zhuang4 骑qi2 恐kong3
+享xiang3 鸡ji1 虫chong2 绍shao4 铜tong2 呈cheng2 泛fan4
+械xie4 摆bai3 欲yu4 奶nai3 敬jing4 措cuo4 爆bao4 暴bao4
+签qian1 猛meng3 郭guo1 嘉jia1 障zhang4 缩suo1 亦yi4 废fei4
+搞gao3 胞bao1 埃ai1 曰yue1 撤che4 暖nuan3 寒han2 订ding4
+俗su2 绩ji4 阻zu3 盐yan2 萨sa4 勒le4 忘wang4 奏zou4 孝xiao4
+贴tie1 灰hui1 梅mei2 触chu4 玩wan2 默mo4 醒xing3 胸xiong1
+莲lian2 篇pian1 柱zhu4 裁cai2 啦la5 淡dan4 抢qiang3 捕bu3
+闹nao4 纺fang3 截jie2 讯xun4 朗lang3 誉yu4 雅ya3 忍ren3
+梦meng4 伙huo3 勇yong3 峡xia2 徒tu2 丈zhang4 尾wei3 迷mi2
+唱chang4 泉quan2 泰tai4 佳jia1 残can2 闪shan3 伍wu3 呀ya5
+疾ji2 署shu3 剩sheng4 贼zei2 冠guan4 倾qing1 豆dou4 申shen1
+贫pin2 诺nuo4 麦mai4 泪lei4 羊yang2 尖jian1 辈bei4 镜jing4
+涉she4 贡gong4 爹die1 缘yuan2 摩mo2 妻qi1 殊shu1 贝bei4
+零ling2 映ying4 甘gan1 骂ma4 糖tang2 岳yue4 饮yin3 奋fen4
+棉mian2 雕diao1 跃yue4 汗han4 冒mao4 渡du4 努nu3 赞zan4
+启qi3 阁ge2 斤jin1 裂lie4 患huan4 伏fu2 池chi2 鹿lu4 洗xi3
+劲jin4 晋jin4 倍bei4 圈quan1 媒mei2 箭jian4 沟gou1 锋feng1
+胆dan3 凭ping2 挑tiao1 抬tai2 闯chuang3 隔ge2 弄nong4 曹cao2
+汤tang1 苗miao2 迁qian1 叹tan4 唯wei2 振zhen4 储chu3 贯guan4
+彻che4 桌zhuo1 祭ji4 符fu2 僧seng1 衡heng2 炸zha4 旋xuan2
+喊han3 凤feng4 黎li2 郎lang2 援yuan2 肥fei2 磁ci2 忌ji4
+赏shang3 辽liao2 祥xiang2 董dong3 仁ren2 辛xin1 瑞rui4 询xun2
+敏min3 浪lang4 貌mao4 毁hui3 昨zuo2 巧qiao3 腿tui3 抽chou1
+荷he2 陷xian4 焦jiao1 净jing4 腹fu4 弃qi4 乃nai3 湘xiang1
+亩mu3 滑hua2 狗gou3 冬dong1 宏hong2 皆jie1 番fan1 尸shi1
+伟wei3 桂gui4 览lan3 恢hui1 龄ling2 绕rao4 趣qu4 晶jing1
+坡po1 魏wei4 摸mo1 伴ban4 墨mo4 浓nong2 绪xu4 舍she3 蓝lan2
+荡dang4 阅yue4 井jing3 鸿hong2 旦dan4 惯guan4 症zheng4 鸟niao3
+窗chuang1 扎zha1 辞ci2 聘pin4 穷qiong2 堰yan4 宇yu3 键jian4
+荒huang1 递di4 恨hen4 隶li4 厉li4 杜du4 闲xian2 腰yao1 袭xi2
+侍shi4 灾zai1 涨zhang3 叔shu1 湿shi1 寨zhai4 幕mu4 豪hao2
+郑zheng4 磨mo2 浮fu2 薄bao2 券quan4 赤chi4 腐fu3 译yi4 租zu1
+氧yang3 戴dai4 邓deng4 煤mei2 肠chang2 牧mu4 孤gu1 诏zhao4
+妙miao4 旨zhi3 堡bao3 册ce4 锅guo1 胖pang4 柳liu3 阔kuo4
+吹chui1 丘qiu1 趋qu1 锦jin3 颜yan2 悬xuan2 陶tao2 拳quan2
+诚cheng2 尺chi3 晓xiao3 插cha1 蒋jiang3 艇ting3 勤qin2 穴xue2
+摄she4 燕yan4 垂chui2 罚fa2 辆liang4 戒jie4 稀xi1 腾teng2
+粗cu1 袋dai4 绘hui4 炎yan2 氏shi4 肩jian1 枝zhi1 狂kuang2
+泊bo2 估gu1 杭hang2 扑pu1 臂bi4 哲zhe2 寡gua3 偷tou1 懂dong3
+琴qin2 悲bei1 盾dun4 炒chao3 稍shao1 矛mao2 愈yu4 籍ji2
+颁ban1 吐tu3 呆dai1 违wei2 亭ting2 眉mei2 撞zhuang4 贷dai4
+刊kan1 巡xun2 屈qu1 堆dui1 曼man4 饰shi4 碎sui4 滚gun3 悉xi1
+寄ji4 浜bang1 迟chi2 描miao2 污wu1 辅fu3 魔mo2 烦fan2 鼻bi2
+盗dao4 餐can1 幼you4 凉liang2 仗zhang4 冈gang1 澳ao4 驾jia4
+菌jun1 肚du4 肃su4 爸ba4 仰yang3 抚fu3 慈ci2 扶fu2 盆pen2
+仿fang3 炼lian4 纲gang1 倘tang3 碗wan3 杰jie2 忧you1 惜xi1
+扫sao3 暂zan4 祝zhu4 跨kua4 渔yu2 宾bin1 漫man4 寿shou4
+猪zhu1 涌yong3 凝ning2 邻lin2 赴fu4 恰qia4 劝quan4 仇chou2
+践jian4 顷qing3 赋fu4 悄qiao1 莱lai2 拟ni3 贤xian2 愤fen4
+姆mu3 乏fa2 轰hong1 粒li4 逼bi1 傅fu4 陕shan3 昆kun1 溶rong2
+葬zang4 燃ran2 魂hun2 挺ting3 腊la4 耐nai4 犹you2 辉hui1
+乳ru3 陪pei2 颇po1 斜xie2 棋qi2 熊xiong2 浅qian3 沈shen3
+姊zi3 返fan3 翼yi4 丧sang4 拖tuo1 惨can3 俊jun4 驱qu1 袖xiu4
+惠hui4 涂tu2 添tian1 牵qian1 咸xian2 详xiang2 碰peng4 割ge1
+侯hou2 纤xian1 柔rou2 档dang4 糊hu2 岂qi3 跪gui4 拒ju4 覆fu4
+绣xiu4 吓xia4 宿su4 偶ou3 揭jie1 赖lai4 烤kao3 卢lu2 娃wa2
+颗ke1 邮you2 扇shan4 伐fa2 循xun2 衰shuai1 弦xian2 凯kai3
+羽yu3 枚mei2 帅shuai4 锁suo3 疏shu1 搭da1 俱ju4 帐zhang4
+胶jiao1 赫he4 埋mai2 蒸zheng1 壳ke2 彼bi3 脏zang4 箱xiang1
+浙zhe4 弯wan1 瓜gua1 挡dang3 拱gong3 筹chou2 疆jiang1
+肿zhong3 膜mo2 刷shua1 杆gan1 凶xiong1 债zhai4 甜tian2
+泡pao4 玄xuan2 贾jia3 谱pu3 夹jia1 乾qian2 遣qian3 薪xin1
+灌guan4 咬yao3 尘chen2 填tian2 廊lang2 钻zuan1 丛cong2
+狼lang2 牢lao2 脊ji3 熙xi1 卒zu2 碑bei1 漠mo4 躲duo3
+削xue1 徽hui1 踏ta4 贺he4 朵duo3 遵zun1 狠hen3 菲fei1
+撒sa1 扰rao3 蛇she2 锡xi1 炉lu2 纹wen2 匹pi3 亏kui1
+鉴jian4 慕mu4 跌die1 慌huang1 穆mu4 邀yao1 芳fang1 爬pa2
+豫yu4 吾wu2 奸jian1 棒bang4 淮huai2 捷jie2 耕geng1 艘sou1
+齿chi3 醉zui4 脂zhi1 兽shou4 滴di1 盈ying2 卵luan3 滋zi1
+柴chai2 溪xi1 妃fei1 碍ai4 瓶ping2 辩bian4 遂sui4 怨yuan4
+拨bo1 肌ji1 俘fu2 挖wa1 恒heng2 励li4 鸣ming2 肝gan1
+腔qiang1 偿chang2 秒miao3 拦lan2 允yun3 塑su4 拆chai1
+靖jing4 耗hao4 凌ling2 披pi1 胁xie2 吏li4 纽niu3 烂lan4
+尝chang2 垸yuan4 辟pi4 耶ye1 艰jian1 佩pei4 敦dun1 疼teng2
+荐jian4 厘li2 匠jiang4 柏bai3 悠you1 壤rang3 拾shi2 乔qiao2
+轴zhou2 妖yao1 喷pen1 掩yan3 璃li2 孟meng4 轨gui3 歇xie1
+猜cai1 晨chen2 坊fang1 桑sang1 堤di1 畅chang4 瞎xia1 氨an1
+辨bian4 鞋xie2 昏hun1 恭gong1 畜chu4 浩hao4 迪di2 雾wu4
+丢diu1 咨zi1 擦ca1 窝wo1 洁jie2 飘piao1 捉zhuo1 搬ban1
+奈nai4 肤fu1 愁chou2 砖zhuan1 辣la4 幽you1 嘛ma5 赢ying2
+藕ou3 挤ji3 舒shu1 狮shi1 耀yao4 诊zhen3 扣kou4 篮lan2
+尿niao4 唤huan4 梯ti1 勾gou1 霍huo4 舌she2 侠xia2 筋jin1
+枢shu1 屏ping2 衙ya2 殷yin1 栏lan2 纠jiu1 链lian4 恋lian4
+惧ju4 笼long2 寸cun4 冶ye3 弥mi2 晃huang4 叙xu4 吊diao4
+哩li5 稿gao3 娜na4 剥bo1 拼pin1 欺qi1 榜bang3 囊nang2
+汪wang1 逆ni4 骗pian4 堪kan1 猎lie4 棺guan1 胎tai1 俩lia3
+郊jiao1 掘jue2 匆cong1 缝feng4 乙yi3 藻zao3 携xie2 慧hui4
+函han2 辱ru3 扯che3 嫩nen4 癌ai2 悟wu4 滩tan1 祸huo4
+秉bing3 慰wei4 驰chi2 狱yu4 砍kan3 糕gao1 漏lou4 吞tun1
+纬wei3 茅mao2 渠qu2 催cui1 踪zong1 叛pan4 浑hun2 牲sheng1
+杖zhang4 鞭bian1 腺xian4 邪xie2 欣xin1 汝ru3 碳tan4 彭peng2
+咐fu4 椒jiao1 绳sheng2 颈jing3 漆qi1 遥yao2 夷yi2 郁yu4
+斑ban1 忆yi4 阀fa2 卑bei1 宴yan4 抑yi4 逻luo2 嫁jia4 扭niu3
+胃wei4 仔zai3 恼nao3 贪tan1 兆zhao4 庸yong1 疯feng1 侦zhen1
+鹰ying1 驶shi3 斩zhan3 鹤he4 猴hou2 蜂feng1 瘦shou4 赐ci4
+闷men4 柄bing3 椅yi3 轿jiao4 拓tuo4 扮ban4 砂sha1 傻sha3
+粘zhan1 辐fu2 啥sha2 伪wei3 抛pao1 玻bo1 昂ang2 圳zhen4
+侨qiao2 吟yin2 刃ren4 饱bao3 吕lv3 玛ma3 碱jian3 冯feng2
+仓cang1 钦qin1 哼heng1 庞pang2 儒ru2 叉cha1 泄xie4 臭chou4
+艾ai4 蓉rong2 鼠shu3 祯zhen1 捧peng3 舱cang1 坝ba4 芙fu2
+瘤liu2 勃bo2 敲qiao1 帽mao4 吻wen3 契qi4 舟zhou1 夸kua1
+葡pu2 剪jian3 抖dou3 霸ba4 艳yan4 聪cong1 仆pu2 躺tang3
+瑶yao2 谦qian1 炭tan4 卧wo4 袍pao2 猫mao1 珊shan1 溜liu1
+漂piao4 衔xian2 苍cang1 坑keng1 串chuan4 浆jiang1 碧bi4
+巷xiang4 咽yan4 铸zhu4 押ya1 惩cheng2 迈mai4 锐rui4 颤chan4
+疲pi2 滨bin1 履lv3 盒he2 宅zhai2 喀ka1 饿e4 缠chan2 翁weng1
+幻huan4 逢feng2 扁bian3 旱han4 罕han3 怜lian2 姻yin1 蓄xu4
+磷lin2 惟wei2 帕pa4 掠lve4 稻dao4 劫jie2 撑cheng1 姿zi1
+肾shen4 胀zhang4 慎shen4 哨shao4 摔shuai1 谨jin3 鹅e2
+丑chou3 塘tang2 肺fei4 镑bang4 趁chen4 蜀shu3 兑dui4 哦o4
+贞zhen1 禧xi3 葛ge3 仲zhong4 惑huo4 蔡cai4 踢ti1 妥tuo3
+筒tong3 诞dan4 禀bing3 朴pu3 祀si4 饼bing3 萄tao2 狭xia2
+赔pei2 绵mian2 诱you4 卜bu3 陀tuo2 呵he1 抹mo3 疫yi4 辰chen2
+顽wan2 蓬peng2 摊tan1 倡chang4 浦pu3 账zhang4 矩ju3 翠cui4
+煌huang2 茂mao4 畏wei4 劣lie4 氛fen1 廉lian2 鸭ya1 瓷ci2
+戈ge1 秩zhi4 弗fu2 悔hui3 尉wei4 挣zheng4 拐guai3 鼎ding3
+芦lu2 睁zheng1 脾pi2 聊liao2 株zhu1 枯ku1 纱sha1 幺yao1
+冻dong4 唇chun2 茫mang2 哀ai1 芬fen1 轩xuan1 蛮man2 醇chun2
+棍gun4 晕yun1 嫂sao3 宙zhou4 酷ku4 欠qian4 稷ji4 鹏peng2
+孕yun4 槽cao2 栖qi1 吩fen1 姚yao2 昭zhao1 罐guan4 叠die2
+墩dun1 盼pan4 舆yu2 芒mang2 酬chou2 斥chi4 捐juan1 斋zhai1
+眠mian2 脆cui4 萧xiao1 璋zhang1 皱zhou4 卿qing1 蚀shi2
+淋lin2 卓zhuo2 翰han4 钉ding1 棣di4 丫ya1 宰zai3 阐chan3
+翅chi4 沃wo4 挨ai2 霖lin2 哄hong3 爵jue2 涔cen2 衫shan1
+逊xun4 铭ming2 戚qi1 旺wang4 硕shuo4 擅shan4 嫌xian2 赌du3
+隋sui2 肖xiao4 饶rao2 沪hu4 雇gu4 罩zhao4 煎jian1 丐gai4
+掷zhi4 誓shi4 摘zhai1 冤yuan1 坤kun1 屁pi4 竭jie2 宛wan3
+菱ling2 厌yan4 矮ai3 潭tan2 渊yuan1 俺an3 崖ya2 氢qing1
+棚peng2 喇la3 涵han2 裕yu4 溃kui4 堵du3 媳xi2 抄chao1
+怔zheng1 蒂di4 肢zhi1 瑜yu2 泌mi4 甫fu3 檐yan2 寂ji4
+颠dian1 撰zhuan4 逝shi4 霜shuang1 羞xiu1 铅qian1 佐zuo3
+帖tie3 硫liu2 蹈dao3 瞬shun4 痕hen2 爽shuang3 挽wan3
+禅chan2 娶qu3 柯ke1 屯tun2 韵yun4 婴ying1 悦yue4 肴yao2
+螺luo2 凑cou4 兹zi1 烛zhu2 歼jian1 毅yi4 杉shan1 慨kai3
+钧jun1 渗shen4 蜜mi4 遮zhe1 窑yao2 谐xie2 厦sha4 柜gui4
+匈xiong1 喉hou2 愧kui4 栽zai1 扔reng1 苯ben3 谊yi4 肆si4
+霞xia2 吵chao3 夕xi1 壶hu2 赚zhuan4 尹yin3 窄zhai3 弓gong1
+谭tan2 盲mang2 勋xun1 饲si4 窟ku1 俞yu2 嗣si4 煮zhu3 巾jin1
+裤ku4 膨peng2 奠dian4 瞪deng4 珞luo4 愚yu2 膏gao1 喘chuan3
+姜jiang1 膀bang3 蔬shu1 糟zao1 僚liao2 匾bian3 妄wang4
+畴chou2 喂wei4 沔mian3 耻chi3 牺xi1 旭xu4 妨fang2 硅gui1
+崩beng1 雌ci2 陛bi4 卸xie4 砸za2 贩fan4 竖shu4 攀pan1
+晒shai4 伞san3 惹re3 裹guo3 屠tu2 汁zhi1 擒qin2 鳞lin2
+佣yong1 渴ke3 叩kou4 龟gui1 雀que4 掀xian1 唉ai1 泼po1
+亥hai4 僵jiang1 屡lv3 瞒man2 璇xuan2 厮si1 刮gua1 钩gou1
+桐tong2 谅liang4 隙xi4 丞cheng2 盯ding1 霉mei2 侄zhi2
+逸yi4 浸jin4 爪zhua3 阙que4 坟fen2 咳ke2 宠chong3 脖bo2
+彪biao1 朕zhen4 虹hong2 衍yan3 甸dian4 鳍qi2 讼song4
+虾xia1 芝zhi1 涛tao1 巩gong3 熔rong2 峻jun4 怖bu4 嘿hei1
+磕ke1 洒sa3 掏tao1 枣zao3 滞zhi4 舅jiu4 昔xi1 哑ya3
+焕huan4 娱yu2 芯xin1 衷zhong1 捞lao1 卦gua4 旬xun2 矣yi3
+茨ci2 蜡la4 喻yu4 挪nuo2 婶shen3 琉liu2 枕zhen3 娇jiao1
+豹bao4 厨chu2 傲ao4 腕wan4 巢chao2 氯lv4 燥zao4 焚fen2
+乖guai1 嘱zhu3 禄lu4 赠zeng4 晌shang3 琦qi2 铃ling2
+雁yan4 姨yi2 蹄ti2 焰yan4 虏lu3 粑ba1 饥ji1 潘pan1 兀wu4
+捏nie1 缔di4 歪wai1 蕴yun4 鸦ya1 嘻xi1 俯fu3 锻duan4
+骤zhou4 庵an1 吁yu4 剿jiao3 禽qin2 勉mian3 膝xi1 捣dao3
+茎jing1 晴qing2 厢xiang1 匀yun2 灏hao4 涯ya2 梨li2 蒲pu2
+驼tuo2 匪fei3 撕si1 嗯en4 樊fan2 搏bo2 缚fu4 垄long3
+寓yu4 愣leng4 斌bin1 麋mi2 劈pi1 旷kuang4 舵duo4 薛xue1
+沸fei4 丸wan2 泳yong3 绸chou2 炬ju4 缴jiao3 寰huan2
+贱jian4 躯qu1 褐he4 酶mei2 嚷rang3 拌ban4 颂song4 帜zhi4
+陡dou3 募mu4 佑you4 皖wan3 绑bang3 啡fei1 仑lun2 麓lu4
+帘lian2 镖biao1 钠na4 刹cha4 妆zhuang1 禾he2 藤teng2
+弊bi4 痴chi1 哇wa1 凰huang2 歧qi2 驴lv2 铝lv3 闸zha2
+喃nan2 滥lan4 耍shua3 桶tong3 酱jiang4 惶huang2 躬gong1
+熬ao2 娥e2 啸xiao4 淘tao2 裙qun2 骚sao1 亨heng1 勘kan1
+窃qie4 挫cuo4 凿zao2 塌ta1 咖ka1 垫dian4 芽ya2 凸tu1
+钙gai4 框kuang4 哟yo5 翔xiang2 逮dai4 舶bo2 锥zhui1
+怡yi2 魄po4 灶zao4 浴yu4 蔽bi4 橡xiang4 懒lan3 硝xiao1
+晰xi1 盏zhan3 赦she4 庐lu2 谕yu4 鄙bi3 拂fu2 菩pu2
+栗li4 琳lin2 沼zhao3 圭gui1 屿yu3 砌qi4 倚yi3 棵ke1
+瑰gui1 羲xi1 酿niang4 诈zha4 锌xin1 杏xing4 婉wan3
+沦lun2 卤lu3 躁zao4 斧fu3 淳chun2 兔tu4 凛lin3 哎ai1
+阮ruan3 淫yin2 剖pou1 烹peng1 姥lao3 咕gu1 蚕can2 兜dou1
+璧bi4 搅jiao3 帆fan1 暇xia2 趟tang4 裸luo3 粹cui4 吼hou3
+哗hua2 冀ji4 呜wu1 瞻zhan1 搁ge1 乞qi3 骇hai4 炕kang4
+垮kua3 拘ju1 嵌qian4 笛di2 鹃juan1 菊ju2 淀dian4 肪fang2
+鞍an1 愉yu2 弧hu2 蹲dun1 椎zhui1 阎yan2 浏liu2 诵song4
+烘hong1 榴liu2 腥xing1 裘qiu2 萝luo2 颊jia2 蟹xie4 灿can4
+摧cui1 棱leng2 琼qiong2 骄jiao1 凄qi1 怯qie4 淑shu1 梢shao1
+丙bing3 暮mu4 媚mei4 钊zhao1 沫mo4 糯nuo4 驳bo2 崔cui1
+谏jian4 炳bing3 畔pan4 缅mian3 襟jin1 锤chui2 觅mi4 拢long3
+胪lu2 诀jue2 奢she1 苹ping2 叮ding1 榨zha4 沾zhan1 渝yu2
+枉wang3 辜gu1 髓sui3 坠zhui4 瑟se4 棕zong1 萍ping2 贿hui4
+泣qi4 嫣yan1 峨e2 憾han4 胺an4 甩shuai3 陂bei1 寇kou4
+烯xi1 钓diao4 瞅chou3 沧cang1 坪ping2 暑shu3 耸song3
+垒lei3 傍bang4 睹du3 薯shu3 溢yi4 谜mi2 咋za3 嗓sang3
+贬bian3 窜cuan4 戟ji3 葱cong1 屑xie4 胚pei1 犁li2 莎sha1
+囚qiu2 颖ying3 诡gui3 腻ni4 藩fan1 彦yan4 巍wei1 痒yang3
+芷zhi3 沐mu4 膊bo2 婢bi4 粤yue4 喧xuan1 逛guang4 贮zhu4
+恍huang3 菇gu1 邢xing2 绮qi3 厥jue2 澄cheng2 邵shao4
+耽dan1 讽feng3 衬chen4 恕shu4 烫tang4 毯tan3 仕shi4
+昼zhou4 闽min3 勿wu4 桓huan2 钾jia3 膛tang2 歉qian4
+膳shan4 詹zhan1 坎kan3 敛lian3 碌lu4 狄di2 沽gu1 侮wu3
+寝qin3 妾qie4 嗽sou4 埔pu3 眷juan4 揪jiu1 牡mu3 毙bi4
+荫yin1 涡wo1 桩zhuang1 锣luo2 釜fu3 瀛ying2 缮shan4
+梳shu1 揽lan3 咀ju3 雍yong1 铲chan3 倦juan4 岱dai4 厄e4
+弘hong2 淤yu1 尴gan1 玲ling2 祠ci2 恳ken3 粥zhou1 衢qu2
+戳chuo1 秃tu1 瀑pu4 搂lou3 迭die2 垃la1 缸gang1 郝hao3
+挠nao2 莽mang3 瑙nao3 瞄miao2 粟su4 跋ba2 呐na4 歹dai3
+豚tun2 驿yi4 圾ji1 胳ge1 魁kui2 诧cha4 绒rong2 谎huang3
+陌mo4 讳hui4 蝶die2 咒zhou4 裔yi4 凳deng4 梭suo1 涅nie4
+泻xie4 苇wei3 焉yan1 娟juan1 迦jia1 巫wu1 扒ba1 翊yi4
+敷fu1 谣yao2 隅yu2 撇pie3 凹ao1 蚁yi3 氮dan4 苑yuan4
+妓ji4 潇xiao1 禹yu3 朽xiu3 郢ying3 伽jia1 粪fen4 诛zhu1
+醋cu4 栋dong4 谴qian3 隧sui4 簇cu4 踩cai3 礁jiao1 庶shu4
+衮gun3 堕duo4 噪zao4 嘲chao2 鲟xun2 彝yi2 柬jian3 斐fei3
+沛pei4 卞bian4 篷peng2 祁qi2 耿geng3 嚼jiao2 宦huan4
+溯su4 黔qian2 浇jiao1 敞chang3 绞jiao3 瓣ban4 窦dou4
+汰tai4 鲍bao4 遏e4 魅mei4 槐huai2 鞘qiao4 钞chao1 徙xi3
+讶ya4 碟die2 琐suo3 琢zhuo2 滤lv4 嗤chi1 蠢chun3 锰meng3
+嵋mei2 刁diao1 侣lv3 惕ti4 拭shi4 亢kang4 啃ken3 骆luo4
+驹ju1 骏jun4 佚yi4 韧ren4 汀ting1 淹yan1 浊zhuo2 渺miao3
+湛zhan4 滔tao1 澜lan2 沁qin4 汹xiong1 涤di2 涩se4 淆xiao2
+渣zha1 湃pai4 溅jian4 漓li2 潺chan2 澎peng2 瀚han4 灼zhuo2
+炊chui1 烁shuo4 焊han4 煞sha4 熏xun1 燎liao2 爇ruo4 犀xi1
+狈bei4 狡jiao3 狸li2 猖chang1 猾hua2 獒ao2 玫mei2 瑚hu2
+瑾jin3 璀cui3 璨can4 瓢piao2 甥sheng1 疤ba1 疚jiu4 疹zhen3
+瘀yu1 瘟wen1 瘫tan1 皂zao4 盎ang4 眶kuang4 睦mu4 睿rui4
+瞥pie1 矗chu4 矢shi3 矫jiao3 砚yan4 碘dian3 磅bang4
+祈qi2 祈qi2 禺yu2 秆gan3 秤cheng4 稚zhi4 稠chou2 穗sui4
+窖jiao4 窥kui1 竿gan1 笃du3 笠li4 筛shai1 筝zheng1 篡cuan4
+簧huang2 籽zi3
+"""
+
+# ---------------------------------------------------------------------------
+# Phrase readings (heteronym disambiguation), one "<word> <syll> <syll>..."
+# entry per line. Looked up before the per-character table.
+# ---------------------------------------------------------------------------
+
+_PHRASE_DATA = """
+银行 yin2 hang2
+行长 hang2 zhang3
+分行 fen1 hang2
+支行 zhi1 hang2
+行家 hang2 jia1
+排行 pai2 hang2
+行业 hang2 ye4
+行列 hang2 lie4
+行情 hang2 qing2
+同行 tong2 hang2
+外行 wai4 hang2
+内行 nei4 hang2
+发行 fa1 xing2
+不行 bu4 xing2
+成长 cheng2 zhang3
+长大 zhang3 da4
+增长 zeng1 zhang3
+生长 sheng1 zhang3
+校长 xiao4 zhang3
+市长 shi4 zhang3
+省长 sheng3 zhang3
+县长 xian4 zhang3
+部长 bu4 zhang3
+局长 ju2 zhang3
+队长 dui4 zhang3
+家长 jia1 zhang3
+厂长 chang3 zhang3
+董事长 dong3 shi4 zhang3
+班长 ban1 zhang3
+组长 zu3 zhang3
+站长 zhan4 zhang3
+处长 chu4 zhang3
+科长 ke1 zhang3
+院长 yuan4 zhang3
+馆长 guan3 zhang3
+船长 chuan2 zhang3
+首长 shou3 zhang3
+长辈 zhang3 bei4
+长老 zhang3 lao3
+年长 nian2 zhang3
+认为 ren4 wei2
+成为 cheng2 wei2
+作为 zuo4 wei2
+以为 yi3 wei2
+行为 xing2 wei2
+称为 cheng1 wei2
+为主 wei2 zhu3
+为准 wei2 zhun3
+为止 wei2 zhi3
+为生 wei2 sheng1
+人为 ren2 wei2
+无为 wu2 wei2
+大为 da4 wei2
+颇为 po1 wei2
+极为 ji2 wei2
+更为 geng4 wei2
+甚为 shen4 wei2
+尤为 you2 wei2
+地方 di4 fang1
+地区 di4 qu1
+地球 di4 qiu2
+地面 di4 mian4
+地位 di4 wei4
+地址 di4 zhi3
+地图 di4 tu2
+地点 di4 dian3
+地带 di4 dai4
+地震 di4 zhen4
+土地 tu3 di4
+大地 da4 di4
+当地 dang1 di4
+各地 ge4 di4
+基地 ji1 di4
+耕地 geng1 di4
+阵地 zhen4 di4
+内地 nei4 di4
+盆地 pen2 di4
+山地 shan1 di4
+绿地 lv4 di4
+领地 ling3 di4
+天地 tian1 di4
+场地 chang3 di4
+墓地 mu4 di4
+得到 de2 dao4
+获得 huo4 de2
+取得 qu3 de2
+觉得 jue2 de5
+值得 zhi2 de2
+使得 shi3 de2
+不得不 bu4 de2 bu4
+得出 de2 chu1
+得以 de2 yi3
+得知 de2 zhi1
+了解 liao3 jie3
+了不起 liao3 bu4 qi3
+受不了 shou4 bu4 liao3
+为了 wei4 le5
+除了 chu2 le5
+子女 zi3 nv3
+子孙 zi3 sun1
+还有 hai2 you3
+还是 hai2 shi4
+归还 gui1 huan2
+还款 huan2 kuan3
+偿还 chang2 huan2
+还原 huan2 yuan2
+音乐 yin1 yue4
+乐器 yue4 qi4
+乐队 yue4 dui4
+乐曲 yue4 qu3
+都市 du1 shi4
+首都 shou3 du1
+都城 du1 cheng2
+成都 cheng2 du1
+重要 zhong4 yao4
+重量 zhong4 liang4
+重点 zhong4 dian3
+重视 zhong4 shi4
+重大 zhong4 da4
+重新 chong2 xin1
+重复 chong2 fu4
+重庆 chong2 qing4
+重建 chong2 jian4
+重组 chong2 zu3
+重申 chong2 shen1
+重返 chong2 fan3
+重演 chong2 yan3
+重叠 chong2 die2
+发展 fa1 zhan3
+头发 tou2 fa5
+理发 li3 fa4
+发型 fa4 xing2
+只有 zhi3 you3
+只是 zhi3 shi4
+只能 zhi3 neng2
+一只 yi4 zhi1
+船只 chuan2 zhi1
+好像 hao3 xiang4
+爱好 ai4 hao4
+好奇 hao4 qi2
+好客 hao4 ke4
+喜好 xi3 hao4
+数学 shu4 xue2
+数字 shu4 zi4
+数量 shu4 liang4
+数据 shu4 ju4
+无数 wu2 shu4
+数一数 shu3 yi4 shu3
+分别 fen1 bie2
+分析 fen1 xi1
+部分 bu4 fen5
+成分 cheng2 fen4
+分量 fen4 liang4
+水分 shui3 fen4
+养分 yang3 fen4
+过分 guo4 fen4
+便宜 pian2 yi5
+方便 fang1 bian4
+干部 gan4 bu4
+干活 gan4 huo2
+能干 neng2 gan4
+干净 gan1 jing4
+干燥 gan1 zao4
+干旱 gan1 han4
+干扰 gan1 rao3
+干预 gan1 yu4
+干涉 gan1 she4
+饼干 bing3 gan1
+种植 zhong4 zhi2
+种地 zhong4 di4
+种树 zhong4 shu4
+接种 jie1 zhong4
+耕种 geng1 zhong4
+调查 diao4 cha2
+调动 diao4 dong4
+调整 tiao2 zheng3
+调节 tiao2 jie2
+调解 tiao2 jie3
+调料 tiao2 liao4
+空调 kong1 tiao2
+协调 xie2 tiao2
+强调 qiang2 diao4
+语调 yu3 diao4
+声调 sheng1 diao4
+曲调 qu3 diao4
+教师 jiao4 shi1
+教育 jiao4 yu4
+教学 jiao4 xue2
+教授 jiao4 shou4
+教练 jiao4 lian4
+教室 jiao4 shi4
+宗教 zong1 jiao4
+教书 jiao1 shu1
+教给 jiao1 gei3
+传记 zhuan4 ji4
+自传 zi4 zhuan4
+传达室 chuan2 da2 shi4
+空白 kong4 bai2
+空闲 kong4 xian2
+填空 tian2 kong4
+尽管 jin3 guan3
+尽量 jin3 liang4
+尽快 jin3 kuai4
+角色 jue2 se4
+主角 zhu3 jue2
+配角 pei4 jue2
+角逐 jue2 zhu2
+答应 da1 ying5
+应该 ying1 gai1
+应当 ying1 dang1
+反应 fan3 ying4
+适应 shi4 ying4
+应用 ying4 yong4
+应付 ying4 fu4
+应对 ying4 dui4
+应聘 ying4 pin4
+供应 gong1 ying4
+相信 xiang1 xin4
+相同 xiang1 tong2
+相关 xiang1 guan1
+相互 xiang1 hu4
+照相 zhao4 xiang4
+相机 xiang4 ji1
+首相 shou3 xiang4
+宰相 zai3 xiang4
+相貌 xiang4 mao4
+真相 zhen1 xiang4
+处理 chu3 li3
+处于 chu3 yu2
+处罚 chu3 fa2
+处置 chu3 zhi4
+处境 chu3 jing4
+相处 xiang1 chu3
+处分 chu3 fen4
+到处 dao4 chu4
+好处 hao3 chu4
+坏处 huai4 chu4
+用处 yong4 chu4
+住处 zhu4 chu4
+点着 dian3 zhao2
+着急 zhao2 ji2
+着火 zhao2 huo3
+着凉 zhao2 liang2
+睡着 shui4 zhao2
+着手 zhuo2 shou3
+着重 zhuo2 zhong4
+着装 zhuo2 zhuang1
+穿着 chuan1 zhuo2
+沉着 chen2 zhuo2
+执着 zhi2 zhuo2
+显著 xian3 zhu4
+著名 zhu4 ming2
+著作 zhu4 zuo4
+朝鲜 chao2 xian3
+新鲜 xin1 xian1
+鲜花 xian1 hua1
+鲜明 xian1 ming2
+朝阳 zhao1 yang2
+朝气 zhao1 qi4
+朝夕 zhao1 xi1
+工会 gong1 hui4
+会计 kuai4 ji4
+一会儿 yi2 hui4 er2
+难民 nan4 min2
+灾难 zai1 nan4
+难道 nan2 dao4
+困难 kun4 nan5
+患难 huan4 nan4
+责难 ze2 nan4
+非难 fei1 nan4
+系统 xi4 tong3
+关系 guan1 xi5
+联系 lian2 xi4
+系列 xi4 lie4
+系鞋带 ji4 xie2 dai4
+中奖 zhong4 jiang3
+中毒 zhong4 du2
+击中 ji1 zhong4
+命中 ming4 zhong4
+看中 kan4 zhong4
+中弹 zhong4 dan4
+中暑 zhong4 shu3
+中意 zhong4 yi4
+中风 zhong4 feng1
+几乎 ji1 hu1
+茶几 cha2 ji1
+几率 ji1 lv4
+散步 san4 bu4
+散布 san4 bu4
+散发 san4 fa1
+解散 jie3 san4
+扩散 kuo4 san4
+分散 fen1 san4
+散文 san3 wen2
+松散 song1 san3
+闲散 xian2 san3
+倒是 dao4 shi4
+倒退 dao4 tui4
+倒车 dao4 che1
+倒影 dao4 ying3
+摔倒 shuai1 dao3
+打倒 da3 dao3
+跌倒 die1 dao3
+倒闭 dao3 bi4
+倒霉 dao3 mei2
+倒塌 dao3 ta1
+卷入 juan3 ru4
+卷起 juan3 qi3
+试卷 shi4 juan4
+考卷 kao3 juan4
+答卷 da2 juan4
+画卷 hua4 juan4
+降落 jiang4 luo4
+降低 jiang4 di1
+降临 jiang4 lin2
+下降 xia4 jiang4
+投降 tou2 xiang2
+曲折 qu1 zhe2
+弯曲 wan1 qu1
+曲线 qu1 xian4
+歌曲 ge1 qu3
+戏曲 xi4 qu3
+作曲 zuo4 qu3
+折腾 zhe1 teng5
+折本 she2 ben3
+打折 da3 zhe2
+骨折 gu3 zhe2
+切磋 qie1 cuo1
+切割 qie1 ge1
+切断 qie1 duan4
+一切 yi2 qie4
+密切 mi4 qie4
+亲切 qin1 qie4
+迫切 po4 qie4
+确切 que4 qie4
+假期 jia4 qi1
+假日 jia4 ri4
+放假 fang4 jia4
+请假 qing3 jia4
+度假 du4 jia4
+暑假 shu3 jia4
+寒假 han2 jia4
+更加 geng4 jia1
+更好 geng4 hao3
+更换 geng1 huan4
+更新 geng1 xin1
+更改 geng1 gai3
+更正 geng1 zheng4
+三更 san1 geng1
+与会 yu4 hui4
+与其 yu3 qi2
+参与 can1 yu4
+给予 ji3 yu3
+供给 gong1 ji3
+给养 ji3 yang3
+补给 bu3 ji3
+自给 zi4 ji3
+当作 dang4 zuo4
+当天 dang4 tian1
+当年 dang1 nian2
+上当 shang4 dang4
+恰当 qia4 dang4
+妥当 tuo3 dang5
+适当 shi4 dang4
+正当 zheng4 dang1
+当铺 dang4 pu4
+勾当 gou4 dang4
+转动 zhuan4 dong4
+转盘 zhuan4 pan2
+旋转 xuan2 zhuan4
+运转 yun4 zhuan4
+转圈 zhuan4 quan1
+省会 sheng3 hui4
+反省 fan3 xing3
+省悟 xing3 wu4
+节省 jie2 sheng3
+朴素 pu3 su4
+朴实 pu3 shi2
+兴趣 xing4 qu4
+兴奋 xing1 fen4
+高兴 gao1 xing4
+兴致 xing4 zhi4
+兴旺 xing1 wang4
+复兴 fu4 xing1
+宁可 ning4 ke3
+宁愿 ning4 yuan4
+宁肯 ning4 ken3
+安宁 an1 ning2
+辽宁 liao2 ning2
+南京 nan2 jing1
+模样 mu2 yang4
+模具 mu2 ju4
+模板 mu2 ban3
+模型 mo2 xing2
+模范 mo2 fan4
+模仿 mo2 fang3
+模糊 mo2 hu5
+薄弱 bo2 ruo4
+薄雾 bo2 wu4
+淡薄 dan4 bo2
+单薄 dan1 bo2
+薄荷 bo4 he5
+刻薄 ke4 bo2
+空隙 kong4 xi4
+间隔 jian4 ge2
+间接 jian4 jie1
+间断 jian4 duan4
+挑拨 tiao3 bo1
+挑战 tiao3 zhan4
+挑衅 tiao3 xin4
+挑剔 tiao1 ti5
+藏族 zang4 zu2
+西藏 xi1 zang4
+宝藏 bao3 zang4
+埋藏 mai2 cang2
+收藏 shou1 cang2
+隐藏 yin3 cang2
+躲藏 duo3 cang2
+奔波 ben1 bo1
+奔跑 ben1 pao3
+投奔 tou2 ben4
+直奔 zhi2 ben4
+吐血 tu4 xie3
+呕吐 ou3 tu4
+吞吐 tun1 tu3
+谈吐 tan2 tu3
+塞车 sai1 che1
+瓶塞 ping2 sai1
+边塞 bian1 sai4
+要塞 yao4 sai4
+堵塞 du3 se4
+阻塞 zu3 se4
+闭塞 bi4 se4
+黄埔 huang2 pu3
+大夫 dai4 fu5
+丈夫 zhang4 fu5
+功夫 gong1 fu5
+工夫 gong1 fu5
+磨坊 mo4 fang2
+作坊 zuo1 fang5
+石磨 shi2 mo4
+磨面 mo4 mian4
+正月 zheng1 yue4
+压根 ya4 gen1
+单于 chan2 yu2
+可汗 ke4 han2
+汗水 han4 shui3
+冠军 guan4 jun1
+夺冠 duo2 guan4
+皇冠 huang2 guan1
+衣冠 yi1 guan1
+樱桃 ying1 tao2
+泄露 xie4 lou4
+露面 lou4 mian4
+露馅 lou4 xian4
+暴露 bao4 lu4
+露水 lu4 shui3
+哄骗 hong3 pian4
+起哄 qi3 hong4
+哄堂 hong1 tang2
+缝隙 feng4 xi4
+裂缝 lie4 feng4
+缝补 feng2 bu3
+缝制 feng2 zhi4
+裁缝 cai2 feng5
+弹钢琴 tan2 gang1 qin2
+弹琴 tan2 qin2
+弹奏 tan2 zou4
+弹性 tan2 xing4
+弹簧 tan2 huang2
+子弹 zi3 dan4
+炮弹 pao4 dan4
+导弹 dao3 dan4
+弹药 dan4 yao4
+畜牧 xu4 mu4
+畜养 xu4 yang3
+牲畜 sheng1 chu4
+家畜 jia1 chu4
+称职 chen4 zhi2
+对称 dui4 chen4
+称心 chen4 xin1
+匀称 yun2 chen4
+提防 di1 fang5
+囤积 tun2 ji1
+熨帖 yu4 tie1
+什么 shen2 me5
+结束 jie2 shu4
+结果 jie2 guo3
+结实 jie1 shi5
+结巴 jie1 ba5
+差别 cha1 bie2
+差距 cha1 ju4
+差异 cha1 yi4
+差错 cha1 cuo4
+误差 wu4 cha1
+差不多 cha4 bu4 duo1
+差点 cha4 dian3
+出差 chu1 chai1
+差遣 chai1 qian3
+参差 cen1 ci1
+人参 ren2 shen1
+海参 hai3 shen1
+参差不齐 cen1 ci1 bu4 qi2
+乘客 cheng2 ke4
+乘坐 cheng2 zuo4
+史乘 shi3 sheng4
+万乘 wan4 sheng4
+盛饭 cheng2 fan4
+盛器 cheng2 qi4
+茂盛 mao4 sheng4
+盛大 sheng4 da4
+体系 ti3 xi4
+体育 ti3 yu4
+体贴 ti3 tie1
+身体 shen1 ti3
+栅栏 zha4 lan5
+蒙古 meng3 gu3
+蒙混 meng2 hun4
+启蒙 qi3 meng2
+蒙骗 meng1 pian4
+前仆后继 qian2 pu1 hou4 ji4
+仆人 pu2 ren2
+公仆 gong1 pu2
+叶公好龙 she4 gong1 hao4 long2
+树叶 shu4 ye4
+茶叶 cha2 ye4
+游说 you2 shui4
+说服 shuo1 fu2
+小说 xiao3 shuo1
+害臊 hai4 sao4
+臊气 sao1 qi4
+贝壳 bei4 ke2
+地壳 di4 qiao4
+外壳 wai4 ke2
+躯壳 qu1 qiao4
+泊车 bo2 che1
+停泊 ting2 bo2
+湖泊 hu2 po1
+血泊 xue4 po1
+荷花 he2 hua1
+荷叶 he2 ye4
+负荷 fu4 he4
+荷载 he4 zai4
+累计 lei3 ji4
+积累 ji1 lei3
+累积 lei3 ji1
+劳累 lao2 lei4
+疲累 pi2 lei4
+连累 lian2 lei5
+果实累累 guo3 shi2 lei2 lei2
+伤痕累累 shang1 hen2 lei3 lei3
+附和 fu4 he4
+和面 huo2 mian4
+和药 huo4 yao4
+暖和 nuan3 huo5
+温和 wen1 he2
+和平 he2 ping2
+和谐 he2 xie2
+打场 da3 chang2
+场院 chang2 yuan4
+一场雨 yi4 chang2 yu3
+操场 cao1 chang3
+现场 xian4 chang3
+市场 shi4 chang3
+广场 guang3 chang3
+商场 shang1 chang3
+剥削 bo1 xue1
+削减 xue1 jian3
+削弱 xue1 ruo4
+削皮 xiao1 pi2
+刀削面 dao1 xiao1 mian4
+宿舍 su4 she4
+住宿 zhu4 su4
+宿营 su4 ying2
+一宿 yi4 xiu3
+星宿 xing1 xiu4
+旋风 xuan4 feng1
+旋涡 xuan2 wo1
+系统地 xi4 tong3 de5
+济南 ji3 nan2
+济济一堂 ji3 ji3 yi4 tang2
+经济 jing1 ji4
+救济 jiu4 ji4
+同济 tong2 ji4
+华山 hua4 shan1
+姓华 xing4 hua4
+中华 zhong1 hua2
+豪华 hao2 hua2
+解数 xie4 shu4
+押解 jie4 song4
+解送 jie4 song4
+浑身解数 hun2 shen1 xie4 shu4
+苦熬 ku3 ao2
+熬菜 ao1 cai4
+煎熬 jian1 ao2
+徇私舞弊 xun4 si1 wu3 bi4
+屏住 bing3 zhu4
+屏气 bing3 qi4
+屏幕 ping2 mu4
+屏障 ping2 zhang4
+屏风 ping2 feng1
+剥夺 bo1 duo2
+剥离 bo1 li2
+剥花生 bao1 hua1 sheng1
+剥皮 bao1 pi2
+狼狈 lang2 bei4
+拓片 ta4 pian4
+拓本 ta4 ben3
+开拓 kai1 tuo4
+拓展 tuo4 zhan3
+奇数 ji1 shu4
+奇偶 ji1 ou3
+奇怪 qi2 guai4
+神奇 shen2 qi2
+好奇心 hao4 qi2 xin1
+翘首 qiao2 shou3
+翘尾巴 qiao4 wei3 ba5
+连翘 lian2 qiao2
+句读 ju4 dou4
+读书 du2 shu1
+阅读 yue4 du2
+弄堂 long4 tang2
+玩弄 wan2 nong4
+弄清 nong4 qing1
+捉弄 zhuo1 nong4
+嘲弄 chao2 nong4
+于是 yu2 shi4
+单独 dan1 du2
+单位 dan1 wei4
+单纯 dan1 chun2
+菜单 cai4 dan1
+名单 ming2 dan1
+被单 bei4 dan1
+传单 chuan2 dan1
+姓单 xing4 shan4
+单县 shan4 xian4
+万俟 mo4 qi2
+尉迟 yu4 chi2
+太尉 tai4 wei4
+上尉 shang4 wei4
+中尉 zhong1 wei4
+少尉 shao4 wei4
+校对 jiao4 dui4
+校正 jiao4 zheng4
+校准 jiao4 zhun3
+学校 xue2 xiao4
+母校 mu3 xiao4
+军校 jun1 xiao4
+吭声 keng1 sheng1
+引吭高歌 yin3 hang2 gao1 ge1
+台帐 tai2 zhang4
+公转 gong1 zhuan4
+自转 zi4 zhuan4
+转速 zhuan4 su4
+转转 zhuan4 zhuan5
+好转 hao3 zhuan3
+转变 zhuan3 bian4
+转移 zhuan3 yi2
+转身 zhuan3 shen1
+转告 zhuan3 gao4
+扇动 shan1 dong4
+扇风 shan1 feng1
+扇子 shan4 zi5
+电扇 dian4 shan4
+风扇 feng1 shan4
+喷香 pen4 xiang1
+喷泉 pen1 quan2
+喷射 pen1 she4
+相片 xiang4 pian4
+照片 zhao4 pian4
+影片 ying3 pian4
+唱片 chang4 pian4
+名片 ming2 pian4
+刀片 dao1 pian4
+药片 yao4 pian4
+卡片 ka3 pian4
+片子 pian1 zi5
+片儿 pian1 er2
+同侪 tong2 chai2
+暴虎冯河 bao4 hu3 ping2 he2
+姓冯 xing4 feng2
+冯家 feng2 jia1
+期间 qi1 jian1
+时间 shi2 jian1
+房间 fang2 jian1
+之间 zhi1 jian1
+中间 zhong1 jian1
+民间 min2 jian1
+空间 kong1 jian1
+瞬间 shun4 jian1
+田间 tian2 jian1
+晚间 wan3 jian1
+间谍 jian4 die2
+间歇 jian4 xie1
+离间 li2 jian4
+间隙 jian4 xi4
+挨打 ai2 da3
+挨骂 ai2 ma4
+挨饿 ai2 e4
+挨个 ai1 ge4
+挨近 ai1 jin4
+挨家挨户 ai1 jia1 ai1 hu4
+熬夜 ao2 ye4
+熬粥 ao2 zhou1
+吆喝 yao1 he5
+萝卜 luo2 bo5
+占卜 zhan1 bu3
+胡萝卜 hu2 luo2 bo5
+喝彩 he4 cai3
+喝令 he4 ling4
+喝水 he1 shui3
+喝酒 he1 jiu3
+""".strip()
+
+_TOKEN_RE = re.compile(r"([㐀-鿿])([a-z]+[1-5])")
+
+CHAR_TO_PINYIN: dict[str, str] = {
+    m.group(1): m.group(2) for m in _TOKEN_RE.finditer(_CHAR_DATA)
+}
+
+PHRASE_TO_PINYIN: dict[str, list[str]] = {}
+for _line in _PHRASE_DATA.splitlines():
+    _parts = _line.split()
+    if len(_parts) >= 2:
+        PHRASE_TO_PINYIN[_parts[0]] = _parts[1:]
+
+_MAX_PHRASE = max((len(k) for k in PHRASE_TO_PINYIN), default=1)
+
+
+def word_to_pinyin(word: str) -> list[str]:
+    """Word -> tone-numbered pinyin syllables.
+
+    Lookup order mirrors pypinyin's phrase-then-character strategy: the whole
+    word, then greedy longest-match sub-phrases, then per-character defaults.
+    Characters without a vendored reading yield '' (callers drop them — same
+    visible effect as pypinyin's errors='ignore').
+    """
+    if word in PHRASE_TO_PINYIN:
+        return list(PHRASE_TO_PINYIN[word])
+    out: list[str] = []
+    i = 0
+    n = len(word)
+    while i < n:
+        matched = False
+        for j in range(min(n, i + _MAX_PHRASE), i + 1, -1):
+            sub = word[i:j]
+            if sub in PHRASE_TO_PINYIN:
+                out.extend(PHRASE_TO_PINYIN[sub])
+                i = j
+                matched = True
+                break
+        if not matched:
+            out.append(CHAR_TO_PINYIN.get(word[i], ""))
+            i += 1
+    return out
+
+
+def known(ch: str) -> bool:
+    return ch in CHAR_TO_PINYIN

@@ -1,4 +1,4 @@
-"""Model input symbol inventory — 55 IPA symbols.
+"""Model input symbol inventory — 71 ids (pad + punctuation + IPA + extras).
 
 This is the model's vocabulary contract (reference text/symbols.py:5-14);
 ids must match for checkpoint/text parity: pad `_`, punctuation, IPA letters

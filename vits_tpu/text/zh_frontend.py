@@ -1,0 +1,118 @@
+"""Dependency-free Mandarin hanzi frontend: text -> tone-numbered pinyin.
+
+Behavioral reference: /root/reference/text/frontend/zh_frontend.py (the
+PaddleSpeech Frontend) and text/paddle_zh.py:100-115. Pipeline:
+
+  traditional->simplified  ->  NSW normalization  ->  jieba POS segmentation
+  ->  sandhi pre-merge  ->  per-word pinyin (vendored lexicon)  ->  tone
+  sandhi  ->  optional erhua merge  ->  '#'-joined pinyin string
+
+Differences from the reference, by design:
+  * hanzi->pinyin comes from the vendored lexicon in pinyin_dict.py instead
+    of pypinyin (not installed here); unknown characters are dropped, like
+    pypinyin errors='ignore'
+  * the reference reverses its phone set back to pinyin before bopomofo
+    (paddle_zh.py:78-92) — a lossless roundtrip this implementation skips by
+    staying in pinyin throughout
+  * erhua merging exists but defaults OFF, matching the reference's
+    get_phonemes(with_erhua=False) main path (zh_frontend.py:257-262)
+  * jieba segmentation falls back to greedy longest-match over the vendored
+    phrase lexicon if jieba is unavailable
+"""
+
+from __future__ import annotations
+
+import re
+
+from vits_tpu.text.char_convert import traditional_to_simplified
+from vits_tpu.text.pinyin_dict import PHRASE_TO_PINYIN, word_to_pinyin
+from vits_tpu.text.tone_sandhi import modified_tone, pre_merge_for_modify
+
+# reference zh_frontend.py:49-56 (erhua whitelist/blacklist)
+MUST_ERHUA = {"小院儿", "胡同儿", "范儿", "老汉儿", "撒欢儿", "寻老礼儿", "妥妥儿"}
+NOT_ERHUA = set(
+    "虐儿 为儿 护儿 瞒儿 救儿 替儿 有儿 一儿 我儿 俺儿 妻儿 拐儿 聋儿 乞儿 "
+    "患儿 幼儿 孤儿 婴儿 婴幼儿 连体儿 脑瘫儿 流浪儿 体弱儿 混血儿 蜜雪儿 "
+    "舫儿 祖儿 美儿 应采儿 可儿 侄儿 孙儿 侄孙儿 女儿 男儿 红孩儿 花儿 "
+    "虫儿 马儿 鸟儿 猪儿 猫儿 狗儿".split()
+)
+
+_PUNC = set("!?…,.#-%$")
+_HANZI = re.compile(r"[㐀-鿿]")
+
+
+def _segment(text: str) -> list[tuple[str, str]]:
+    """jieba POS segmentation; greedy lexicon fallback when absent."""
+    try:
+        import jieba.posseg as psg
+
+        return [(w, p) for w, p in psg.lcut(text)]
+    except Exception:
+        from vits_tpu.text.tone_sandhi import NEUTRAL_TONE_WORDS
+
+        vocab = set(PHRASE_TO_PINYIN) | NEUTRAL_TONE_WORDS
+        out: list[tuple[str, str]] = []
+        i, n = 0, len(text)
+        max_len = max((len(k) for k in vocab), default=1)
+        while i < n:
+            for j in range(min(n, i + max_len), i, -1):
+                if j - i > 1 and text[i:j] in vocab:
+                    out.append((text[i:j], "n"))
+                    i = j
+                    break
+            else:
+                out.append((text[i], "n" if _HANZI.match(text[i]) else "x"))
+                i += 1
+        return out
+
+
+def _merge_erhua(sylls: list[str], word: str, pos: str) -> list[str]:
+    """Fold a trailing 儿 into the preceding syllable as an 'r' coda
+    (reference _merge_erhua, zh_frontend.py:177-201)."""
+    if word not in MUST_ERHUA and (word in NOT_ERHUA or pos in ("a", "j", "nr")):
+        return sylls
+    if len(sylls) != len(word):
+        return sylls
+    out: list[str] = []
+    for i, s in enumerate(sylls):
+        if (
+            i == len(sylls) - 1
+            and word[i] == "儿"
+            and s in ("er2", "er5")
+            and word[-2:] not in NOT_ERHUA
+            and out
+        ):
+            # '&' marks a retroflex coda; mandarin._clean_zh turns it into
+            # the rhotic rhyme after the tone arrows
+            out[-1] = out[-1] + "&"
+        else:
+            out.append(s)
+    return out
+
+
+def hanzi_to_pinyin(text: str, with_erhua: bool = False) -> str:
+    """Normalized hanzi text -> '#'-separated tone-numbered pinyin words.
+
+    Punctuation passes through literally; latin letters are dropped (the
+    reference strips them in _g2p, zh_frontend.py:132).
+    """
+    text = traditional_to_simplified(text)
+    text = re.sub("[a-zA-Z]+", "", text)
+    seg = pre_merge_for_modify(_segment(text))
+    words_out: list[str] = []
+    for word, pos in seg:
+        if pos == "eng" or word == "#":
+            continue
+        if not _HANZI.search(word):
+            if word.strip():
+                words_out.append(word.strip())  # punctuation, literal
+            continue
+        sylls = [s for s in word_to_pinyin(word) if s]
+        hanzi_only = "".join(ch for ch in word if _HANZI.match(ch))
+        if len(sylls) == len(hanzi_only):
+            sylls = modified_tone(hanzi_only, pos, sylls)
+            if with_erhua:
+                sylls = _merge_erhua(sylls, hanzi_only, pos)
+        if sylls:
+            words_out.append(" ".join(sylls))
+    return "#".join(words_out)

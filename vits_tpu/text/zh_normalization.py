@@ -172,7 +172,10 @@ def _replace_quantifier(m: re.Match) -> str:
 
 RE_NUMBER = re.compile(r"\d+")
 
-SENTENCE_SPLITOR = re.compile(r"([：、，；。？！,;?!….][”’]?)")
+# Deviation from reference text_normlization.py:54: an ASCII '.' followed by
+# a digit is a decimal point (5.5度), not a sentence boundary — the reference
+# splits mid-number there.
+SENTENCE_SPLITOR = re.compile(r"([：、，；。？！,;?!…][”’]?|\.(?!\d)[”’]?)")
 
 
 class TextNormalizer:
