@@ -63,6 +63,22 @@ def test_kana_to_romaji():
     assert _kana_to_romaji("トーキョー") == "tookyoo"
 
 
+def test_japanese_accent_fallback():
+    """Kana fallback emits Tokyo-accent arrows (lexicon + heiban default)."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    assert jro("こんにちは") == "ko↑Nniʧiwa"  # heiban: initial rise
+    assert jro("はい") == "ha↓i"  # atamadaka
+    assert jro("ありがとう") == "a↑ri↓gatoo"  # nucleus 2
+    assert jro("せんせい") == "se↑Nse↓e"  # nucleus 3 + ei->ee through arrows
+    assert jro("トーキョー") == "to↑okyoo"  # long vowels through arrows
+    # marks transliterate to ASCII (the unidecode role, ref japanese.py:106)
+    assert jro("はい、そうです。") == "ha↓i, so↑odesu."
+    ipa = japanese_to_ipa("ありがとう")
+    assert "↑" in ipa and "↓" in ipa
+    assert all(c in symbols for c in ipa), ipa
+
+
 def test_japanese_to_ipa_kana():
     ipa = japanese_to_ipa("こんにちは")
     # k o N n i ch i w a -> sokuon/hatsuon rules + romaji->ipa table

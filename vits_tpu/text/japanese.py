@@ -3,8 +3,15 @@
 Behavioral reference: /root/reference/text/japanese.py. With pyopenjtalk
 installed the full-context-label pipeline runs (accent arrows from A-fields,
 accent-phrase spaces); without it, a pure-python kana reader covers
-hiragana/katakana input (no pitch accent — openjtalk's dictionary is needed
-for that and for kanji).
+hiragana/katakana input WITH Tokyo-accent arrows: an accent lexicon for
+common vocabulary plus the heiban default (initial rise, no fall) — the
+same ↑/↓ placement rules the full-context A-fields produce
+(reference japanese.py:91-103):
+  * accent 0 (heiban):    rise after mora 1          ko↑Nnichiwa
+  * accent 1 (atamadaka): fall after mora 1          ha↓i
+  * accent k>=2:          rise after 1, fall after k a↑riga↓too
+  * a fall on the final mora is inaudible phrase-finally (openjtalk only
+    emits it before a following mora), so odaka words get no arrow
 """
 
 from __future__ import annotations
@@ -104,36 +111,79 @@ _KANA_EXCEPTIONS = {
     "こんばんは": "こんばんわ",
 }
 
+# Tokyo pitch-accent lexicon for the kana fallback: kana -> accent nucleus
+# mora (0 = heiban). Standard-Japanese accent facts (NHK accent conventions)
+# for common vocabulary; everything else defaults to heiban, which is the
+# majority pattern and reproduces openjtalk's initial rise.
+_ACCENT_LEXICON = {
+    "こんにちわ": 0, "こんばんわ": 0, "おはよう": 0,
+    "ありがとう": 2, "すみません": 4, "さようなら": 4,
+    "はい": 1, "いいえ": 3,
+    "わたし": 0, "あなた": 2, "みんな": 3,
+    "にほん": 2, "にほんご": 0, "とうきょう": 0,
+    "せんせい": 3, "がっこう": 0, "ともだち": 0, "かぞく": 1,
+    "てんき": 1, "あめ": 1, "ゆき": 2, "かぜ": 0, "そら": 1,
+    "うみ": 1, "やま": 2, "かわ": 2, "はな": 2, "き": 1,
+    "ねこ": 1, "いぬ": 2, "とり": 0, "さかな": 0,
+    "みず": 0, "おちゃ": 0, "ごはん": 1, "にく": 2, "たまご": 2,
+    "ほん": 1, "くるま": 0, "でんわ": 0, "えいが": 1, "おんがく": 1,
+    "いま": 1, "きょう": 1, "あした": 3, "きのう": 2, "まいにち": 1,
+    "たべる": 2, "のむ": 1, "みる": 1, "きく": 0, "はなす": 2,
+    "よむ": 1, "かく": 1, "くる": 1, "いく": 0, "かえる": 1,
+    "おいしい": 3, "たのしい": 3, "うれしい": 3, "かわいい": 3,
+    "おおきい": 3, "ちいさい": 3, "あたらしい": 4, "きれい": 1,
+    "げんき": 1, "だいじょうぶ": 3, "おねがいします": 5,
+}
 
-def _kana_to_romaji(text: str) -> str:
-    """Kana -> openjtalk-style romaji (Q for sokuon, N for hatsuon)."""
+
+def _kana_moras(kana: str) -> list[str]:
+    """Hiragana -> mora units (yoon digraphs merge; っ/ん/ー each count)."""
+    moras: list[str] = []
+    i = 0
+    while i < len(kana):
+        if kana[i : i + 2] in _KANA_YOON:
+            moras.append(kana[i : i + 2])
+            i += 2
+        else:
+            moras.append(kana[i])
+            i += 1
+    return moras
+
+
+def _mora_to_romaji(mora: str, out_so_far: str) -> str:
+    """One mora -> romaji, context-sensitive for long vowels (accent arrows
+    are transparent to the vowel context)."""
+    ctx = out_so_far.replace("↑", "").replace("↓", "")
+    if mora in _KANA_YOON:
+        return _KANA_YOON[mora]
+    if mora == "っ":
+        return "Q"
+    if mora == "う" and ctx.endswith("o"):
+        return "o"  # orthographic long vowel (ou -> oo)
+    if mora == "い" and ctx.endswith("e"):
+        return "e"  # orthographic long vowel (ei -> ee)
+    if mora == "ー":
+        return ctx[-1] if ctx and ctx[-1] in "aiueo" else ""
+    return _KANA_BASE.get(mora, mora)
+
+
+def _kana_to_romaji(text: str, accent: bool = False) -> str:
+    """Kana -> openjtalk-style romaji (Q sokuon, N hatsuon); with
+    accent=True, insert the ↑/↓ arrows per the module docstring."""
     text = _katakana_to_hiragana(text)
     for k, v in _KANA_EXCEPTIONS.items():
         text = text.replace(k, v)
+    moras = _kana_moras(text)
+    nucleus = _ACCENT_LEXICON.get(text, 0) if accent else None
     out = ""
-    i = 0
-    while i < len(text):
-        two = text[i : i + 2]
-        ch = text[i]
-        if two in _KANA_YOON:
-            out += _KANA_YOON[two]
-            i += 2
-            continue
-        if ch == "っ":
-            out += "Q"
-        elif ch == "う" and out.endswith("o"):
-            out += "o"  # orthographic long vowel (ou -> oo)
-        elif ch == "い" and out.endswith("e"):
-            out += "e"  # orthographic long vowel (ei -> ee)
-        elif ch == "ー":
-            # long vowel: repeat previous vowel
-            if out and out[-1] in "aiueo":
-                out += out[-1]
-        elif ch in _KANA_BASE:
-            out += _KANA_BASE[ch]
-        else:
-            out += ch
-        i += 1
+    for idx, mora in enumerate(moras, start=1):
+        out += _mora_to_romaji(mora, out)
+        if not accent or idx >= len(moras):
+            continue  # phrase-final: no following mora, no audible arrow
+        if nucleus == idx:
+            out += "↓"
+        elif idx == 1:
+            out += "↑"
     return out
 
 
@@ -152,9 +202,25 @@ def _openjtalk_available() -> bool:
         return False
 
 
+# non-Japanese marks -> ASCII, the role unidecode plays in the reference
+# (japanese.py:106: `unidecode(marks[i])`)
+_MARKS_TRANSLIT = str.maketrans({
+    "、": ",", "。": ".", "！": "!", "？": "?", "，": ",", "．": ".",
+    "・": ",", "：": ",", "；": ",", "〜": "~", "～": "~", "…": "…",
+    "「": "", "」": "", "『": "", "』": "", "（": "", "）": "",
+    "“": "", "”": "", "‘": "", "’": "", "　": "",
+})
+
+
+def _translit_marks(marks: str) -> str:
+    out = marks.translate(_MARKS_TRANSLIT).replace(" ", "")
+    return "".join(ch for ch in out if ord(ch) < 0x2E80 or ch == "…")
+
+
 def japanese_to_romaji_with_accent(text: str) -> str:
     """Full-context-label path with pitch-accent arrows
-    (reference japanese.py:58-108); kana fallback without accents."""
+    (reference japanese.py:58-108); the kana fallback realizes accents from
+    the lexicon + heiban default."""
     text = symbols_to_japanese(text)
     sentences = re.split(_japanese_marks, text)
     marks = re.findall(_japanese_marks, text)
@@ -168,9 +234,9 @@ def japanese_to_romaji_with_accent(text: str) -> str:
             if use_ojt:
                 out += _romaji_accent_openjtalk(sentence)
             else:
-                out += _kana_to_romaji(sentence)
+                out += _kana_to_romaji(sentence, accent=True)
         if i < len(marks):
-            out += marks[i].replace(" ", "")
+            out += _translit_marks(marks[i])
     return out
 
 
