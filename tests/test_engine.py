@@ -61,3 +61,44 @@ def test_engine_chunked_matches_full(engine):
 def test_engine_empty_text_raises(engine):
     with pytest.raises(ValueError):
         engine.synthesize("untagged text only", 0)
+
+
+def test_split_segments_phrase_boundaries(engine):
+    from vits_tpu.text.symbols import symbols as S
+
+    comma, space, a = S.index(","), S.index(" "), S.index("a")
+    seq = [a] * 10 + [comma] + [a] * 10 + [space] + [a] * 10
+    lang = [0] * len(seq)
+    segs = engine._split_segments(np.asarray(seq), np.asarray(lang), 16)
+    # first cut right after the comma (index 10), not mid-phrase
+    assert len(segs[0][0]) == 11 and int(segs[0][0][-1]) == comma
+    assert sum(len(s) for s, _ in segs) == len(seq)
+    assert all(len(s) <= 16 for s, _ in segs)
+    # no boundary at all -> hard split, nothing dropped
+    segs2 = engine._split_segments(
+        np.asarray([a] * 40), np.asarray([0] * 40), 16
+    )
+    assert [len(s) for s, _ in segs2] == [16, 16, 8]
+
+
+def test_engine_long_input_not_truncated(engine):
+    """A ~1000-symbol input synthesizes completely via phrase splitting
+    (round-1 engine silently truncated at the 384 bucket)."""
+    text = "[P]" + " ".join(["ni3#hao3%"] * 55) + "[P]"
+    seq, lang, _ = engine.get_phoneme(text)
+    assert len(seq) > 900  # after add_blank intersperse
+    phones, (sr, audio) = engine.synthesize(text, 0, seed=3)
+    # every segment contributes: output must exceed one full frame budget
+    assert len(audio) > engine.max_frames * engine.hop
+    assert np.isfinite(audio).all()
+
+
+def test_chunked_decoder_no_retrace(engine):
+    """synthesize_chunked shares one compiled decoder across calls."""
+    text = "[P]ni3#hao3[P]"
+    engine.synthesize_chunked(text, 0, seed=1, chunk_frames=16,
+                              overlap_frames=16)
+    size_before = engine._decode_fn._cache_size()
+    engine.synthesize_chunked(text, 1, seed=4, chunk_frames=16,
+                              overlap_frames=16)
+    assert engine._decode_fn._cache_size() == size_before

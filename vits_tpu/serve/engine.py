@@ -27,9 +27,17 @@ from vits_tpu.text.symbols import symbols
 
 
 class TTSEngine:
-    """Loads a config + eval checkpoint and synthesizes speech."""
+    """Loads a config + eval checkpoint and synthesizes speech.
+
+    Arbitrary-length input: text pads up to TEXT_BUCKETS (one warm compile
+    per bucket); text longer than the largest bucket is split at phrase
+    boundaries and the pieces are synthesized and concatenated — nothing is
+    silently truncated. The frame budget escalates through FRAME_BUCKETS
+    when the duration predictor wants more than the current budget.
+    """
 
     TEXT_BUCKETS = (64, 128, 256, 384)
+    FRAME_BUCKETS = (256, 512, 1000, 2000)
 
     def __init__(
         self,
@@ -68,10 +76,13 @@ class TTSEngine:
             params = {"params": load_eval_params(checkpoint_path)}
         self.params = params
 
-        model, max_frames = self.model, self.max_frames
+        model = self.model
 
-        @functools.partial(jax.jit, static_argnames=("scope_shift",))
-        def _synth(params, x, t, x_lengths, sid, key, duration, scope_shift):
+        @functools.partial(
+            jax.jit, static_argnames=("scope_shift", "max_frames")
+        )
+        def _synth(params, x, t, x_lengths, sid, key, duration, scope_shift,
+                   max_frames):
             return model.apply(
                 params, x, t, x_lengths, sid=sid, rng=key,
                 noise_scale=0.667, noise_scale_w=0.8, length_scale=duration,
@@ -80,6 +91,27 @@ class TTSEngine:
             )
 
         self._synth_fn = _synth
+
+        @functools.partial(
+            jax.jit, static_argnames=("scope_shift", "max_frames")
+        )
+        def _pre_decoder(params, x, t, x_lengths, sid, key, duration,
+                         scope_shift, max_frames):
+            return model.apply(
+                params, x, t, x_lengths, sid=sid, rng=key,
+                noise_scale=0.667, noise_scale_w=0.8,
+                length_scale=duration, max_frames=max_frames,
+                scope_shift=scope_shift,
+                method=SynthesizerTrn.infer_pre_decoder,
+            )
+
+        self._pre_decoder_fn = _pre_decoder
+        # one decoder program shared by every synthesize_chunked call
+        self._decode_fn = jax.jit(
+            lambda p, z, sid: model.apply(
+                p, z, sid=sid, method=SynthesizerTrn.infer_decode_chunk
+            )
+        )
 
     def get_phoneme(self, text: str):
         """Tagged text -> (ids, lang ids, IPA string) (reference app.py:48-58)."""
@@ -100,6 +132,62 @@ class TTSEngine:
                 return b
         return self.TEXT_BUCKETS[-1]
 
+    def _frame_buckets(self) -> list[int]:
+        buckets = sorted({b for b in self.FRAME_BUCKETS if b < self.max_frames})
+        return buckets + [self.max_frames]
+
+    def _split_segments(self, seq, lang, limit: int):
+        """Split an over-long phoneme sequence at phrase boundaries (after
+        punctuation, else at spaces, else hard) so every piece fits a text
+        bucket — replaces the silent truncation the round-1 engine had."""
+        from vits_tpu.text.symbols import symbols as _symbols
+
+        punct = {
+            _symbols.index(c) for c in ",.!?…~-" if c in _symbols
+        }
+        space = _symbols.index(" ")
+        segments = []
+        start = 0
+        n = len(seq)
+        while n - start > limit:
+            window = range(start + limit - 1, start, -1)
+            cut = next((i for i in window if int(seq[i]) in punct), None)
+            if cut is None:
+                cut = next((i for i in window if int(seq[i]) == space), None)
+            cut = (cut + 1) if cut is not None else start + limit
+            segments.append((seq[start:cut], lang[start:cut]))
+            start = cut
+        segments.append((seq[start:], lang[start:]))
+        return [(s, la) for s, la in segments if len(s) > 0]
+
+    def _synth_segment(self, seq, lang, speaker_id, seed, scope_shift,
+                       duration):
+        """One bucketed jitted synthesis; frame budget escalates through
+        FRAME_BUCKETS when the predicted length hits the current budget."""
+        n = len(seq)
+        tx = self._bucket(n)
+        x = np.zeros((1, tx), np.int32)
+        t = np.zeros((1, tx), np.int32)
+        x[0, :n] = seq
+        t[0, :n] = lang
+        args = (
+            self.params, jnp.asarray(x), jnp.asarray(t), jnp.asarray([n]),
+            jnp.asarray([speaker_id]), jax.random.PRNGKey(seed),
+            jnp.float32(duration),
+        )
+        want = int(n * 6 * max(duration, 0.25))
+        buckets = self._frame_buckets()
+        frames = next((b for b in buckets if b >= want), buckets[-1])
+        while True:
+            wav, y_mask, y_len = self._synth_fn(
+                *args, scope_shift=int(scope_shift), max_frames=frames
+            )
+            y_len = int(np.asarray(y_len)[0])
+            if y_len < frames or frames == buckets[-1]:
+                break
+            frames = next(b for b in buckets if b > frames)
+        return np.asarray(wav)[0, : y_len * self.hop, 0]
+
     def synthesize(
         self,
         text: str,
@@ -108,27 +196,21 @@ class TTSEngine:
         scope_shift: int = 0,
         duration: float = 1.0,
     ):
-        """Returns (ipa_string, (sampling_rate, waveform np.ndarray))."""
+        """Returns (ipa_string, (sampling_rate, waveform np.ndarray)).
+
+        Never truncates: long inputs are split at phrase boundaries and the
+        pieces concatenated (reference app.py synthesizes single phrases)."""
         seq, lang, phones = self.get_phoneme(text)
-        n = len(seq)
-        if n == 0:
-            raise ValueError(
-                "empty phoneme sequence — input must contain language-tagged "
-                "blocks like [EN]...[EN], [ZH]...[ZH], [JA]...[JA], [P]...[P]"
+        pieces = [
+            self._synth_segment(s, la, speaker_id, seed + i, scope_shift,
+                                duration)
+            for i, (s, la) in enumerate(
+                self._split_segments(seq, lang, self.TEXT_BUCKETS[-1])
             )
-        tx = self._bucket(n)
-        n = min(n, tx)
-        x = np.zeros((1, tx), np.int32)
-        t = np.zeros((1, tx), np.int32)
-        x[0, :n] = seq[:n]
-        t[0, :n] = lang[:n]
-        wav, y_mask, y_len = self._synth_fn(
-            self.params, jnp.asarray(x), jnp.asarray(t), jnp.asarray([n]),
-            jnp.asarray([speaker_id]), jax.random.PRNGKey(seed),
-            jnp.float32(duration), scope_shift=int(scope_shift),
+        ]
+        audio = (
+            np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
         )
-        n_samples = int(np.asarray(y_len)[0]) * self.hop
-        audio = np.asarray(wav)[0, :n_samples, 0]
         return phones, (self.sampling_rate, audio)
 
     def synthesize_chunked(
@@ -150,51 +232,58 @@ class TTSEngine:
         (`infer_decode_chunk`, reference :438-443). Chunks share one compiled
         program, so memory stays O(chunk) regardless of text length.
         """
-        seq, lang, phones = self.get_phoneme(text)
-        n = len(seq)
-        if n == 0:
-            raise ValueError("empty phoneme sequence")
-        tx = self._bucket(n)
-        n = min(n, tx)
-        x = np.zeros((1, tx), np.int32)
-        t = np.zeros((1, tx), np.int32)
-        x[0, :n] = seq[:n]
-        t[0, :n] = lang[:n]
-
-        dec_inputs, y_mask, y_lengths, _ = self.model.apply(
-            self.params, jnp.asarray(x), jnp.asarray(t), jnp.asarray([n]),
-            sid=jnp.asarray([speaker_id]), rng=jax.random.PRNGKey(seed),
-            noise_scale=0.667, noise_scale_w=0.8,
-            length_scale=float(duration), max_frames=self.max_frames,
-            scope_shift=int(scope_shift),
-            method=SynthesizerTrn.infer_pre_decoder,
-        )
-        total = int(np.asarray(y_lengths)[0])
-        dec_inputs = np.asarray(dec_inputs)[0]  # [T, C]
-
-        model = self.model
-        decode = jax.jit(
-            lambda p, z, sid: model.apply(
-                p, z, sid=sid, method=SynthesizerTrn.infer_decode_chunk
-            )
-        )
+        seq_all, lang_all, phones = self.get_phoneme(text)
         sid_arr = jnp.asarray([speaker_id])
-        pieces = []
-        pos = 0
-        while pos < total:
-            lo = max(0, pos - overlap_frames)
-            hi = min(total, pos + chunk_frames + overlap_frames)
-            window = np.zeros(
-                (1, chunk_frames + 2 * overlap_frames, dec_inputs.shape[-1]),
-                np.float32,
+        audio_pieces: list[np.ndarray] = []
+        for seg_i, (seq, lang) in enumerate(
+            self._split_segments(seq_all, lang_all, self.TEXT_BUCKETS[-1])
+        ):
+            n = len(seq)
+            tx = self._bucket(n)
+            x = np.zeros((1, tx), np.int32)
+            t = np.zeros((1, tx), np.int32)
+            x[0, :n] = seq
+            t[0, :n] = lang
+            args = (
+                self.params, jnp.asarray(x), jnp.asarray(t),
+                jnp.asarray([n]), sid_arr, jax.random.PRNGKey(seed + seg_i),
+                jnp.float32(duration),
             )
-            window[0, : hi - lo] = dec_inputs[lo:hi]
-            wav_chunk = np.asarray(decode(self.params, jnp.asarray(window), sid_arr))
-            start = (pos - lo) * self.hop
-            end = start + min(chunk_frames, total - pos) * self.hop
-            pieces.append(wav_chunk[0, start:end, 0])
-            pos += chunk_frames
-        audio = np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
+            buckets = self._frame_buckets()
+            want = int(n * 6 * max(duration, 0.25))
+            frames = next((b for b in buckets if b >= want), buckets[-1])
+            while True:
+                dec_inputs, y_mask, y_lengths, _ = self._pre_decoder_fn(
+                    *args, scope_shift=int(scope_shift), max_frames=frames
+                )
+                total = int(np.asarray(y_lengths)[0])
+                if total < frames or frames == buckets[-1]:
+                    break
+                frames = next(b for b in buckets if b > frames)
+            dec_inputs = np.asarray(dec_inputs)[0]  # [T, C]
+
+            pos = 0
+            while pos < total:
+                lo = max(0, pos - overlap_frames)
+                hi = min(total, pos + chunk_frames + overlap_frames)
+                window = np.zeros(
+                    (1, chunk_frames + 2 * overlap_frames,
+                     dec_inputs.shape[-1]),
+                    np.float32,
+                )
+                window[0, : hi - lo] = dec_inputs[lo:hi]
+                wav_chunk = np.asarray(
+                    self._decode_fn(self.params, jnp.asarray(window), sid_arr)
+                )
+                start = (pos - lo) * self.hop
+                end = start + min(chunk_frames, total - pos) * self.hop
+                audio_pieces.append(wav_chunk[0, start:end, 0])
+                pos += chunk_frames
+        audio = (
+            np.concatenate(audio_pieces)
+            if audio_pieces
+            else np.zeros(0, np.float32)
+        )
         return phones, (self.sampling_rate, audio)
 
     def voice_conversion(self, wav: np.ndarray, sid_src: int, sid_tgt: int, seed: int = 0):
