@@ -1,19 +1,142 @@
-"""Benchmark: end-to-end synthesis real-time factor on the flagship model.
+"""Benchmark: flagship-model performance on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline north star (BASELINE.md): >= 20x real-time per TPU chip.
-vs_baseline = measured_rtf / 20.
+Prints ONE JSON line. Headline metric = TRUE-audio synthesis RTF (the audio
+seconds the duration predictor actually asked for, not the padded frame
+budget — the round-1 bench over-credited this). vs_baseline = rtf / 20
+(BASELINE.md: >= 20x real-time per chip).
+
+Extra keys carried in the same line (BASELINE.json scenario list):
+  inference_rtf_padded  - decoder-work RTF at the padded frame budget
+  batched_rtf           - true-audio RTF at batch 8 (multi-speaker CJE)
+  train_steps_per_sec   - full GAN train step (batch 16 x 400 frames)
+  train_mfu             - model FLOP utilization of the train step, from
+                          XLA cost analysis / chip peak
+  device                - chip kind
+
+Set VITS_BENCH_SKIP_TRAIN=1 to emit only the inference numbers.
 """
 
 from __future__ import annotations
 
+import functools
 import json
-import sys
+import os
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# bf16 peak FLOP/s by TPU generation (scaling-book figures)
+_PEAK_FLOPS = (
+    ("v6", 918e12),
+    ("v5p", 459e12),
+    ("v5", 197e12),  # v5e / v5 lite
+    ("v4", 275e12),
+    ("v3", 123e12),
+)
+
+
+def _peak_flops(device_kind: str) -> float | None:
+    kind = device_kind.lower()
+    for key, peak in _PEAK_FLOPS:
+        if key in kind:
+            return peak
+    return None
+
+
+def _bench_infer(model, params, b, tx, max_frames, sr, hop, n_iter=10):
+    rng = np.random.default_rng(0)
+    from vits_tpu.text.symbols import symbols
+
+    x = jnp.asarray(rng.integers(1, len(symbols), (b, tx)))
+    t = jnp.asarray(rng.integers(0, 6, (b, tx)))
+    x_lengths = jnp.asarray([tx] * b)
+    sid = jnp.asarray(rng.integers(0, 5, (b,)))
+    from vits_tpu.models.synthesizer import SynthesizerTrn
+
+    @jax.jit
+    def synthesize(params, x, t, x_lengths, sid, key):
+        return model.apply(
+            params, x, t, x_lengths, sid=sid, rng=key,
+            noise_scale=0.667, noise_scale_w=0.8, max_frames=max_frames,
+            method=SynthesizerTrn.infer,
+        )
+
+    wav, _, yl = synthesize(params, x, t, x_lengths, sid, jax.random.PRNGKey(2))
+    jax.block_until_ready(wav)
+
+    true_frames = 0
+    start = time.perf_counter()
+    for i in range(n_iter):
+        wav, _, yl = synthesize(params, x, t, x_lengths, sid, jax.random.PRNGKey(i))
+        jax.block_until_ready(wav)
+        true_frames += int(np.asarray(yl).sum())
+    elapsed = time.perf_counter() - start
+    padded_sec = b * max_frames * hop / sr * n_iter
+    true_sec = true_frames * hop / sr
+    return true_sec / elapsed, padded_sec / elapsed
+
+
+def _bench_train(hps, n_iter=10):
+    from vits_tpu.models.avocodo import AvocodoDiscriminator
+    from vits_tpu.models.synthesizer import SynthesizerTrn
+    from vits_tpu.text.symbols import symbols
+    from vits_tpu.config import synthesizer_kwargs
+    from vits_tpu.training.step import (
+        create_train_state, make_optimizer, train_step,
+    )
+
+    model = SynthesizerTrn(**synthesizer_kwargs(hps, len(symbols)))
+    disc = AvocodoDiscriminator()
+    optim_g = make_optimizer(hps, steps_per_epoch=100)
+    optim_d = make_optimizer(hps, steps_per_epoch=100)
+    b, tx, ty, hop = 16, 128, 400, hps.data.hop_length
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(rng.integers(1, len(symbols), (b, tx))),
+        "t": jnp.asarray(rng.integers(0, 6, (b, tx))),
+        "x_lengths": jnp.asarray([tx] * b),
+        "spec": jnp.asarray(
+            np.abs(rng.standard_normal((b, ty, 513))).astype(np.float32)
+        ),
+        "spec_lengths": jnp.asarray([ty] * b),
+        "ying": jnp.asarray(rng.uniform(0, 1, (b, ty, 80)).astype(np.float32)),
+        "wav": jnp.asarray(
+            (rng.standard_normal((b, ty * hop, 1)) * 0.1).astype(np.float32)
+        ),
+        "sid": jnp.asarray(rng.integers(0, 5, (b,))),
+    }
+    state = create_train_state(
+        jax.random.PRNGKey(0), model, disc, optim_g, optim_d, batch
+    )
+    step_fn = jax.jit(
+        functools.partial(
+            train_step, model=model, disc=disc,
+            optim_g=optim_g, optim_d=optim_d, hps=hps,
+        ),
+        donate_argnums=(0,),
+    )
+    lowered = step_fn.lower(state, batch, jax.random.PRNGKey(1))
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis() or {}
+    flops_per_step = float(cost.get("flops", 0.0))
+
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(state.g_params)
+    start = time.perf_counter()
+    for i in range(n_iter):
+        state, metrics = step_fn(
+            state, batch, jax.random.fold_in(jax.random.PRNGKey(2), i)
+        )
+    jax.block_until_ready(state.g_params)
+    elapsed = time.perf_counter() - start
+    steps_per_sec = n_iter / elapsed
+    peak = _peak_flops(jax.devices()[0].device_kind)
+    mfu = (
+        flops_per_step * steps_per_sec / peak if peak and flops_per_step else None
+    )
+    return steps_per_sec, mfu, flops_per_step
 
 
 def main():
@@ -26,15 +149,12 @@ def main():
 
     hps = load_hparams("configs/config_cje.yaml")
     model = SynthesizerTrn(**synthesizer_kwargs(hps, len(symbols)))
-
-    b, tx, max_frames = 1, 64, 400  # ~4.64 s of audio at 22.05 kHz
     sr, hop = hps.data.sampling_rate, hps.data.hop_length
+
+    b, tx, max_frames = 1, 64, 400
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(1, len(symbols), (b, tx)))
     t = jnp.asarray(rng.integers(0, 6, (b, tx)))
-    x_lengths = jnp.asarray([tx] * b)
-    sid = jnp.asarray([0])
-
     init_fn = jax.jit(
         lambda key, x, t, xl, sid, r: model.init(
             key, x, t, xl, sid=sid, rng=r, max_frames=16,
@@ -42,36 +162,28 @@ def main():
         )
     )
     params = init_fn(
-        jax.random.PRNGKey(0), x, t, x_lengths, sid, jax.random.PRNGKey(1)
+        jax.random.PRNGKey(0), x, t, jnp.asarray([tx]), jnp.asarray([0]),
+        jax.random.PRNGKey(1),
     )
 
-    @jax.jit
-    def synthesize(params, x, t, x_lengths, sid, key):
-        return model.apply(
-            params, x, t, x_lengths, sid=sid, rng=key,
-            noise_scale=0.667, noise_scale_w=0.8, max_frames=max_frames,
-            method=SynthesizerTrn.infer,
-        )
+    rtf_true, rtf_padded = _bench_infer(model, params, 1, 64, 400, sr, hop)
+    batched_true, _ = _bench_infer(model, params, 8, 64, 400, sr, hop)
 
-    # warmup/compile
-    wav, y_mask, y_lengths = synthesize(params, x, t, x_lengths, sid, jax.random.PRNGKey(2))
-    jax.block_until_ready(wav)
-
-    n_iter = 10
-    start = time.perf_counter()
-    for i in range(n_iter):
-        wav, _, yl = synthesize(params, x, t, x_lengths, sid, jax.random.PRNGKey(i))
-        jax.block_until_ready(wav)
-    elapsed = time.perf_counter() - start
-
-    audio_seconds = b * max_frames * hop / sr * n_iter  # full padded output
-    rtf = audio_seconds / elapsed
-    print(json.dumps({
+    out = {
         "metric": "inference_rtf",
-        "value": round(rtf, 3),
-        "unit": "x_realtime",
-        "vs_baseline": round(rtf / 20.0, 4),
-    }))
+        "value": round(rtf_true, 3),
+        "unit": "x_realtime_true_audio",
+        "vs_baseline": round(rtf_true / 20.0, 4),
+        "inference_rtf_padded": round(rtf_padded, 3),
+        "batched_rtf": round(batched_true, 3),
+        "device": jax.devices()[0].device_kind,
+    }
+    if not os.environ.get("VITS_BENCH_SKIP_TRAIN"):
+        steps_per_sec, mfu, flops = _bench_train(hps)
+        out["train_steps_per_sec"] = round(steps_per_sec, 3)
+        out["train_mfu"] = round(mfu, 4) if mfu is not None else None
+        out["train_flops_per_step"] = flops
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
