@@ -32,6 +32,10 @@ def main():
     parser.add_argument("--text", type=int, default=128)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument(
+        "--trace", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the timed loop into DIR",
+    )
     args = parser.parse_args()
 
     hps = load_hparams("configs/config_cje.yaml")
@@ -76,11 +80,16 @@ def main():
     jax.block_until_ready(state.g_params)
     compile_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    for i in range(args.iters):
-        state, metrics = step_fn(state, batch, jax.random.fold_in(jax.random.PRNGKey(2), i))
-    jax.block_until_ready(state.g_params)
-    elapsed = time.perf_counter() - t0
+    from vits_tpu.utils.profiling import trace
+    import contextlib
+
+    tracer = trace(args.trace) if args.trace else contextlib.nullcontext()
+    with tracer:
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            state, metrics = step_fn(state, batch, jax.random.fold_in(jax.random.PRNGKey(2), i))
+        jax.block_until_ready(state.g_params)
+        elapsed = time.perf_counter() - t0
 
     steps_per_sec = args.iters / elapsed
     audio_sec_per_step = b * ty * hop / hps.data.sampling_rate

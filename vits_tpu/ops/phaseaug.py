@@ -29,6 +29,8 @@ FFT per tensor on TPU.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -65,7 +67,13 @@ def _lowpass_kernel(
     return (k / k.sum()).astype(np.float32)
 
 
-_KERNEL = jnp.asarray(_lowpass_kernel())
+@functools.lru_cache(maxsize=1)
+def _kernel() -> np.ndarray:
+    # Host-side numpy, cached: a module-level device array would initialize
+    # the JAX backend at import (breaking dryrun_multichip's CPU pinning),
+    # and caching a jnp array created inside a trace would leak that tracer
+    # across jit boundaries. numpy constants stage cleanly into any trace.
+    return _lowpass_kernel()
 
 
 def sample_phi(
@@ -78,10 +86,11 @@ def sample_phi(
     """Sample the per-bin rotation phi [batch, n_bins] (steps 1-3 above)."""
     r_phi, r_delta = jax.random.split(rng)
     phi_raw = jax.random.normal(r_phi, (batch, n_bins)) * np.sqrt(var)
-    pad = _KERNEL.shape[0] // 2
-    phi_pad = jnp.pad(phi_raw, ((0, 0), (pad, pad - 1 + _KERNEL.shape[0] % 2)))
+    kernel = _kernel()
+    pad = kernel.shape[0] // 2
+    phi_pad = jnp.pad(phi_raw, ((0, 0), (pad, pad - 1 + kernel.shape[0] % 2)))
     phi_smooth = jax.vmap(
-        lambda row: jnp.convolve(row, _KERNEL, mode="valid")
+        lambda row: jnp.convolve(row, kernel, mode="valid")
     )(phi_pad)
     delta = (jax.random.uniform(r_delta, (batch, 1)) * 2.0 - 1.0) * delta_max
     ramp = jnp.linspace(0.0, 1.0, n_bins)[None, :]
