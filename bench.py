@@ -56,20 +56,23 @@ def _bench_infer(model, params, b, tx, max_frames, sr, hop, n_iter=10):
     from vits_tpu.models.synthesizer import SynthesizerTrn
 
     @jax.jit
-    def synthesize(params, x, t, x_lengths, sid, key):
+    def synthesize(params, x, t, x_lengths, sid, seed):
+        # key built in-graph: a host PRNGKey is a separate tiny device
+        # program whose dispatch latency pollutes the RTF measurement
+        key = jax.random.PRNGKey(seed)
         return model.apply(
             params, x, t, x_lengths, sid=sid, rng=key,
             noise_scale=0.667, noise_scale_w=0.8, max_frames=max_frames,
             method=SynthesizerTrn.infer,
         )
 
-    wav, _, yl = synthesize(params, x, t, x_lengths, sid, jax.random.PRNGKey(2))
+    wav, _, yl = synthesize(params, x, t, x_lengths, sid, jnp.uint32(2))
     jax.block_until_ready(wav)
 
     true_frames = 0
     start = time.perf_counter()
     for i in range(n_iter):
-        wav, _, yl = synthesize(params, x, t, x_lengths, sid, jax.random.PRNGKey(i))
+        wav, _, yl = synthesize(params, x, t, x_lengths, sid, jnp.uint32(i))
         jax.block_until_ready(wav)
         true_frames += int(np.asarray(yl).sum())
     elapsed = time.perf_counter() - start
@@ -87,8 +90,9 @@ def _bench_train(hps, n_iter=10):
         create_train_state, make_optimizer, train_step,
     )
 
-    model = SynthesizerTrn(**synthesizer_kwargs(hps, len(symbols)))
-    disc = AvocodoDiscriminator()
+    bf16 = bool(hps.train.get("bf16_run", False))
+    model = SynthesizerTrn(**synthesizer_kwargs(hps, len(symbols)), bf16=bf16)
+    disc = AvocodoDiscriminator(bf16=bf16)
     optim_g = make_optimizer(hps, steps_per_epoch=100)
     optim_d = make_optimizer(hps, steps_per_epoch=100)
     b, tx, ty, hop = 16, 128, 400, hps.data.hop_length
@@ -122,13 +126,12 @@ def _bench_train(hps, n_iter=10):
     cost = compiled.cost_analysis() or {}
     flops_per_step = float(cost.get("flops", 0.0))
 
-    state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(1)
+    state, metrics = step_fn(state, batch, key)
     jax.block_until_ready(state.g_params)
     start = time.perf_counter()
     for i in range(n_iter):
-        state, metrics = step_fn(
-            state, batch, jax.random.fold_in(jax.random.PRNGKey(2), i)
-        )
+        state, metrics = step_fn(state, batch, key)  # step-folded in-graph
     jax.block_until_ready(state.g_params)
     elapsed = time.perf_counter() - start
     steps_per_sec = n_iter / elapsed

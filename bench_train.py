@@ -76,7 +76,8 @@ def main():
         donate_argnums=(0,),
     )
     t0 = time.perf_counter()
-    state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(1)
+    state, metrics = step_fn(state, batch, key)
     jax.block_until_ready(state.g_params)
     compile_s = time.perf_counter() - t0
 
@@ -87,7 +88,7 @@ def main():
     with tracer:
         t0 = time.perf_counter()
         for i in range(args.iters):
-            state, metrics = step_fn(state, batch, jax.random.fold_in(jax.random.PRNGKey(2), i))
+            state, metrics = step_fn(state, batch, key)  # step-folded in-graph
         jax.block_until_ready(state.g_params)
         elapsed = time.perf_counter() - t0
 

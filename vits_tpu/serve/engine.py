@@ -81,8 +81,11 @@ class TTSEngine:
         @functools.partial(
             jax.jit, static_argnames=("scope_shift", "max_frames")
         )
-        def _synth(params, x, t, x_lengths, sid, key, duration, scope_shift,
+        def _synth(params, x, t, x_lengths, sid, seed, duration, scope_shift,
                    max_frames):
+            # key built IN-GRAPH: a host-side PRNGKey is its own tiny device
+            # program (~tens of ms per dispatch on a tunneled TPU)
+            key = jax.random.PRNGKey(seed)
             return model.apply(
                 params, x, t, x_lengths, sid=sid, rng=key,
                 noise_scale=0.667, noise_scale_w=0.8, length_scale=duration,
@@ -95,8 +98,9 @@ class TTSEngine:
         @functools.partial(
             jax.jit, static_argnames=("scope_shift", "max_frames")
         )
-        def _pre_decoder(params, x, t, x_lengths, sid, key, duration,
+        def _pre_decoder(params, x, t, x_lengths, sid, seed, duration,
                          scope_shift, max_frames):
+            key = jax.random.PRNGKey(seed)
             return model.apply(
                 params, x, t, x_lengths, sid=sid, rng=key,
                 noise_scale=0.667, noise_scale_w=0.8,
@@ -172,7 +176,7 @@ class TTSEngine:
         t[0, :n] = lang
         args = (
             self.params, jnp.asarray(x), jnp.asarray(t), jnp.asarray([n]),
-            jnp.asarray([speaker_id]), jax.random.PRNGKey(seed),
+            jnp.asarray([speaker_id]), jnp.uint32(seed),
             jnp.float32(duration),
         )
         want = int(n * 6 * max(duration, 0.25))
@@ -246,7 +250,7 @@ class TTSEngine:
             t[0, :n] = lang
             args = (
                 self.params, jnp.asarray(x), jnp.asarray(t),
-                jnp.asarray([n]), sid_arr, jax.random.PRNGKey(seed + seg_i),
+                jnp.asarray([n]), sid_arr, jnp.uint32(seed + seg_i),
                 jnp.float32(duration),
             )
             buckets = self._frame_buckets()

@@ -115,12 +115,19 @@ def train_step(
     hps,
 ) -> tuple[TrainState, dict]:
     """One D+G update. batch keys: x, t, x_lengths, spec, spec_lengths,
-    ying, wav ([B, T_samples, 1]), sid."""
+    ying, wav ([B, T_samples, 1]), sid.
+
+    ``rng`` is a RUN-level base key: it is folded with the (checkpointed)
+    ``state.step`` inside the jitted program, so the caller passes the same
+    key every step — no per-step host-side PRNG programs (each tiny dispatch
+    costs real latency on a tunneled TPU), and resume reproduces the exact
+    key sequence for free."""
     hop = hps.data.hop_length
     seg = hps.train.segment_size
     seg_frames = seg // hop
     b = batch["x"].shape[0]
 
+    rng = jax.random.fold_in(rng, state.step)
     gen_rng, drop_rng, aug_d_rng, aug_g_rng = jax.random.split(rng, 4)
 
     # ---- 1. generator forward, linearized once (reference :55-60) -------

@@ -180,14 +180,15 @@ def run(hps, initial_run: bool = False) -> None:
         for batch in train_iter:
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
-            rng = jax.random.fold_in(base_rng, global_step)
+            # base_rng is folded with state.step INSIDE the jitted step —
+            # zero per-step host PRNG dispatches.
             if profile_at and global_step == profile_at:
                 # one traced step, viewable in TensorBoard/Perfetto
                 with trace(hps.model_dir):
-                    state, metrics = step_fn(state, batch, rng)
+                    state, metrics = step_fn(state, batch, base_rng)
                     jax.block_until_ready(metrics["loss/g/total"])
             else:
-                state, metrics = step_fn(state, batch, rng)
+                state, metrics = step_fn(state, batch, base_rng)
             global_step += 1
             timer.tick()
 
