@@ -61,18 +61,45 @@ class PQMF:
         # channels-last conv kernels: [k, in, out]
         self.analysis_filter = jnp.asarray(h_a.T[:, None, :])  # [taps+1, 1, N]
         self.synthesis_filter = jnp.asarray(h_s.T[:, :, None])  # [taps+1, N, 1]
+        # Polyphase analysis kernel [J, N, N] (block j, phase r, subband k):
+        # W[j, r, k] = h_a[k, j*N + r].  The naive form — stride-1 conv with a
+        # 1-input-channel (taps+1)-tap kernel, then [::N] — computes N x more
+        # outputs than kept AND maps terribly onto the MXU (1 channel can't
+        # fill the systolic array; it was the single hottest fusion in the
+        # train-step trace at ~6 ms/step for the SBD's 16-band/257-tap bank).
+        # Folding the decimation into a polyphase block reshape turns it into
+        # a dense N-in/N-out conv over T/N frames: same numbers, N x fewer
+        # FLOPs, MXU-shaped.
+        K = taps + 1
+        J = -(-K // subbands)
+        h_pad = np.zeros((subbands, J * subbands), np.float32)
+        h_pad[:, :K] = h_a
+        self.poly_analysis = jnp.asarray(
+            h_pad.reshape(subbands, J, subbands).transpose(1, 2, 0)
+        )
+        self._poly_J = J
 
     def analysis(self, x: jax.Array) -> jax.Array:
-        """[B, T, 1] -> [B, T//N, N]."""
-        pad = self.taps // 2
+        """[B, T, 1] -> [B, ceil(T/N), N] — polyphase decimating filterbank.
+
+        Identical numerics to conv(pad=taps//2)[::N] (reference
+        Avocodo.py:497-508): output i equals sum_u h[u] * x_pad[i*N + u].
+        """
+        b, t, _ = x.shape
+        n, p, J = self.subbands, self.taps // 2, self._poly_J
+        frames = -(-t // n)
+        total = (frames + J - 1) * n  # padded length covering every window
+        assert total >= t + p, (t, n, p, J)
+        xp = jnp.pad(x[:, :, 0], ((0, 0), (p, total - t - p)))
+        blocks = xp.reshape(b, frames + J - 1, n)  # X[m, r] = x_pad[m*N + r]
         y = jax.lax.conv_general_dilated(
-            x,
-            self.analysis_filter.astype(x.dtype),
+            blocks,
+            self.poly_analysis.astype(x.dtype),
             window_strides=(1,),
-            padding=[(pad, pad)],
+            padding=[(0, 0)],
             dimension_numbers=("NWC", "WIO", "NWC"),
         )
-        return y[:, :: self.subbands, :]
+        return y
 
     def synthesis(self, x: jax.Array) -> jax.Array:
         """[B, T//N, N] -> [B, T, 1]."""
