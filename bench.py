@@ -21,6 +21,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -123,16 +124,26 @@ def _bench_train(hps, n_iter=10):
     )
     lowered = step_fn.lower(state, batch, jax.random.PRNGKey(1))
     compiled = lowered.compile()
-    cost = compiled.cost_analysis() or {}
-    flops_per_step = float(cost.get("flops", 0.0))
+    # true conv+dot FLOPs parsed from the compiled HLO (grouped-conv aware;
+    # tools/hlo_flops.py) with cost_analysis as fallback
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from hlo_flops import true_flops_from_hlo
+
+        flops_per_step = true_flops_from_hlo(compiled.as_text())["total"]
+    except Exception:
+        cost = compiled.cost_analysis() or {}
+        flops_per_step = float(cost.get("flops", 0.0))
 
     key = jax.random.PRNGKey(1)
     state, metrics = step_fn(state, batch, key)
-    jax.block_until_ready(state.g_params)
+    # value fetch, NOT block_until_ready: the tunneled backend's
+    # block_until_ready returns before the queue drains (inflates ~4x)
+    float(metrics["loss/g/total"])
     start = time.perf_counter()
     for i in range(n_iter):
         state, metrics = step_fn(state, batch, key)  # step-folded in-graph
-    jax.block_until_ready(state.g_params)
+    float(metrics["loss/g/total"])  # single final fetch drains the queue
     elapsed = time.perf_counter() - start
     steps_per_sec = n_iter / elapsed
     peak = _peak_flops(jax.devices()[0].device_kind)

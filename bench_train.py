@@ -78,7 +78,11 @@ def main():
     t0 = time.perf_counter()
     key = jax.random.PRNGKey(1)
     state, metrics = step_fn(state, batch, key)
-    jax.block_until_ready(state.g_params)
+    # NOTE: a concrete value fetch, NOT jax.block_until_ready — on the
+    # tunneled axon backend block_until_ready returns before the execution
+    # queue drains, which silently inflated throughput ~4x (round-1 numbers
+    # had this flaw). Only a device->host read proves the steps ran.
+    float(metrics["loss/g/total"])
     compile_s = time.perf_counter() - t0
 
     from vits_tpu.utils.profiling import trace
@@ -89,7 +93,7 @@ def main():
         t0 = time.perf_counter()
         for i in range(args.iters):
             state, metrics = step_fn(state, batch, key)  # step-folded in-graph
-        jax.block_until_ready(state.g_params)
+        float(metrics["loss/g/total"])  # single final fetch drains the queue
         elapsed = time.perf_counter() - t0
 
     steps_per_sec = args.iters / elapsed
