@@ -39,12 +39,17 @@ def main():
     hop, sr = hps.data.hop_length, hps.data.sampling_rate
 
     def timed(fn, *args, n=15):
-        r = fn(*args)
-        jax.block_until_ready(r)
+        def drain(r):
+            # concrete fetch, NOT block_until_ready: on the tunneled axon
+            # backend block_until_ready returns before the queue drains
+            leaf = jax.tree_util.tree_leaves(r)[0]
+            np.asarray(leaf).ravel()[:1]
+
+        drain(fn(*args))
         t0 = time.perf_counter()
         for _ in range(n):
             r = fn(*args)
-        jax.block_until_ready(r)
+        drain(r)
         return (time.perf_counter() - t0) / n
 
     def prep_text(tagged, tx):

@@ -186,7 +186,9 @@ def run(hps, initial_run: bool = False) -> None:
                 # one traced step, viewable in TensorBoard/Perfetto
                 with trace(hps.model_dir):
                     state, metrics = step_fn(state, batch, base_rng)
-                    jax.block_until_ready(metrics["loss/g/total"])
+                    # concrete fetch: block_until_ready does not drain the
+                    # queue on the tunneled backend
+                    float(metrics["loss/g/total"])
             else:
                 state, metrics = step_fn(state, batch, base_rng)
             global_step += 1
