@@ -44,13 +44,18 @@ class TTSEngine:
         config_path: str,
         checkpoint_path: str | None = None,
         max_frames: int = 1000,
+        bf16: bool = False,
     ):
+        """bf16=True runs the HBM/FLOP-heavy submodules (decoder, WaveNet
+        stacks, posterior encoders) in bfloat16 at inference; params stay
+        f32 so any checkpoint loads unchanged. Throughput option for
+        serving — output differs from f32 at bf16 rounding level."""
         from vits_tpu.utils.compilation_cache import enable_persistent_cache
 
         enable_persistent_cache()
         self.hps = load_hparams(config_path)
         self.model = SynthesizerTrn(
-            **synthesizer_kwargs(self.hps, len(symbols))
+            **synthesizer_kwargs(self.hps, len(symbols)), bf16=bf16
         )
         self.max_frames = max_frames
         self.sampling_rate = self.hps.data.sampling_rate
@@ -338,9 +343,11 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--scope-shift", type=int, default=0)
     parser.add_argument("--duration", type=float, default=1.0)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute in the heavy submodules")
     args = parser.parse_args()
 
-    engine = TTSEngine(args.config, args.checkpoint)
+    engine = TTSEngine(args.config, args.checkpoint, bf16=args.bf16)
     phones, (sr, audio) = engine.synthesize(
         args.text, args.speaker, args.seed, args.scope_shift, args.duration
     )
