@@ -275,6 +275,10 @@ class TTSEngine:
                 frames = next(b for b in buckets if b > frames)
             dec_inputs = np.asarray(dec_inputs)[0]  # [T, C]
 
+            # dispatch every window first (async), fetch afterwards — the
+            # decodes pipeline on device instead of paying a host round
+            # trip per chunk
+            pending = []
             pos = 0
             while pos < total:
                 lo = max(0, pos - overlap_frames)
@@ -285,13 +289,15 @@ class TTSEngine:
                     np.float32,
                 )
                 window[0, : hi - lo] = dec_inputs[lo:hi]
-                wav_chunk = np.asarray(
-                    self._decode_fn(self.params, jnp.asarray(window), sid_arr)
-                )
                 start = (pos - lo) * self.hop
                 end = start + min(chunk_frames, total - pos) * self.hop
-                audio_pieces.append(wav_chunk[0, start:end, 0])
+                pending.append((
+                    self._decode_fn(self.params, jnp.asarray(window), sid_arr),
+                    start, end,
+                ))
                 pos += chunk_frames
+            for wav_chunk, start, end in pending:
+                audio_pieces.append(np.asarray(wav_chunk)[0, start:end, 0])
         audio = (
             np.concatenate(audio_pieces)
             if audio_pieces
@@ -299,36 +305,67 @@ class TTSEngine:
         )
         return phones, (self.sampling_rate, audio)
 
-    def voice_conversion(self, wav: np.ndarray, sid_src: int, sid_tgt: int, seed: int = 0):
-        """Waveform -> target-speaker waveform via the shared flow."""
+    # audio-length buckets for the jitted VC program (samples; multiples of
+    # hop so the yingram pad arithmetic stays static) — ~1.5 s to ~24 s
+    VC_BUCKETS = (32768, 65536, 131072, 262144, 524288)
+
+    def _vc_jit(self):
+        """One jitted program covering STFT + yingram + flow VC end-to-end
+        (the round-1 path ran all of it eagerly: hundreds of per-op
+        dispatches per call). Shape-specializes per VC_BUCKET."""
+        if getattr(self, "_vc_fn", None) is not None:
+            return self._vc_fn
         from vits_tpu.ops.stft import spectrogram
         from vits_tpu.ops.yin import Yingram
 
         hps = self.hps
-        wav_b = jnp.asarray(wav, jnp.float32)[None, :]
-        spec = spectrogram(
-            wav_b, hps.data.filter_length, hps.data.hop_length,
-            hps.data.win_length,
-        )
-        n = wav_b.shape[1]
-        left = hps.data.filter_length - hps.data.hop_length
-        right = (
-            left + (-n) % hps.data.hop_length
-            + hps.data.hop_length * (n % hps.data.hop_length == 0)
-        )
-        ying = Yingram(
-            hps.data.sampling_rate, hps.data.hop_length, 2048,
+        model = self.model
+        hop = hps.data.hop_length
+        yingram = Yingram(
+            hps.data.sampling_rate, hop, 2048,
             hps.data.tau_max, hps.data.midi_start, hps.data.midi_end,
             hps.data.octave_range,
-        )(jnp.pad(wav_b, ((0, 0), (left, right))))
-        frames = min(spec.shape[1], ying.shape[1])
-        o_hat, _, _ = self.model.apply(
-            self.params, spec[:, :frames], ying[:, :frames],
-            jnp.asarray([frames]), jnp.asarray([sid_src]),
-            jnp.asarray([sid_tgt]), rng=jax.random.PRNGKey(seed),
-            method=SynthesizerTrn.voice_conversion,
         )
-        return np.asarray(o_hat)[0, :, 0]
+        left = hps.data.filter_length - hop
+
+        @jax.jit
+        def _vc(params, wav_b, frames_valid, sid_src, sid_tgt, seed):
+            spec = spectrogram(
+                wav_b, hps.data.filter_length, hop, hps.data.win_length
+            )
+            # wav_b length is a bucket multiple of hop -> right pad static
+            ying = yingram(jnp.pad(wav_b, ((0, 0), (left, left + hop))))
+            frames = min(spec.shape[1], ying.shape[1])
+            o_hat, _, _ = model.apply(
+                params, spec[:, :frames], ying[:, :frames],
+                jnp.minimum(frames_valid, frames), sid_src, sid_tgt,
+                rng=jax.random.PRNGKey(seed),
+                method=SynthesizerTrn.voice_conversion,
+            )
+            return o_hat
+
+        self._vc_fn = _vc
+        return _vc
+
+    def voice_conversion(self, wav: np.ndarray, sid_src: int, sid_tgt: int, seed: int = 0):
+        """Waveform -> target-speaker waveform via the shared flow.
+
+        Input pads up to VC_BUCKETS (one warm compile per bucket); the
+        padded tail is masked out via the true frame count and trimmed."""
+        hop = self.hps.data.hop_length
+        n = len(wav)
+        bucket = next(
+            (b for b in self.VC_BUCKETS if b >= n), self.VC_BUCKETS[-1]
+        )
+        wav_p = np.zeros((1, bucket), np.float32)
+        m = min(n, bucket)
+        wav_p[0, :m] = wav[:m]
+        true_frames = m // hop
+        o_hat = self._vc_jit()(
+            self.params, jnp.asarray(wav_p), jnp.asarray([true_frames]),
+            jnp.asarray([sid_src]), jnp.asarray([sid_tgt]), jnp.uint32(seed),
+        )
+        return np.asarray(o_hat)[0, : true_frames * hop, 0]
 
 
 def main():
