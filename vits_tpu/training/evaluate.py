@@ -25,36 +25,60 @@ from vits_tpu.utils.logging_utils import plot_spectrogram_to_numpy, summarize
 _LOG_FLOOR = -11.5129  # log(1e-5), the reference's mel padding value
 
 
+# jitted-program cache keyed by (tag, model identity): evaluate runs every
+# eval_interval with the same model object, so each program compiles once
+# per process (per batch-bucket shape). Running these eagerly costs
+# thousands of per-op dispatches per eval — ~70 s/eval measured.
+_JIT_CACHE: dict = {}
+
+
+def _val_loss_fn(model, hps):
+    key = ("val", id(model), id(hps))
+    fn = _JIT_CACHE.get(key)
+    if fn is not None:
+        return fn
+    hop = hps.data.hop_length
+    seg_frames = hps.train.segment_size // hop
+
+    @jax.jit
+    def fn(g_params, x, t, xl, spec, sl, ying, sid):
+        b = x.shape[0]
+        out = model.apply(
+            {"params": g_params}, x, t, xl, spec, sl, ying, sid,
+            rng=jax.random.PRNGKey(0),
+        )
+        mel = spec_to_mel(
+            spec, hps.data.filter_length, hps.data.n_mel_channels,
+            hps.data.sampling_rate, hps.data.mel_fmin, hps.data.mel_fmax,
+        )
+        ids = out["ids_slice"].astype(jnp.int32)
+        y_mel = slice_segments(mel, ids[:b], seg_frames)
+        y_hat_mel = mel_spectrogram(
+            out["wav_hier"][-1][:b, :, 0], hps.data.filter_length,
+            hps.data.n_mel_channels, hps.data.sampling_rate, hop,
+            hps.data.win_length, hps.data.mel_fmin, hps.data.mel_fmax,
+        )
+        loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel))
+        loss_yin = jnp.mean(
+            jnp.abs(out["yin_gt_shifted_crop"] - out["yin_dec_crop"])
+        )
+        return loss_mel, loss_yin
+
+    _JIT_CACHE[key] = fn
+    return fn
+
+
 def _val_losses(model, g_params, batch, hps):
     """Train-style forward -> (mel L1, yin L1) (reference evaluate.py:44-80).
     Plain-weighted L1 (the c_mel/c_yin scaling divides back out when
     comparing runs; scalars stay unit-comparable across configs)."""
-    hop = hps.data.hop_length
-    seg_frames = hps.train.segment_size // hop
-    b = batch["x"].shape[0]
-    out = model.apply(
-        {"params": g_params},
+    return _val_loss_fn(model, hps)(
+        g_params,
         jnp.asarray(batch["x"]), jnp.asarray(batch["t"]),
         jnp.asarray(batch["x_lengths"]), jnp.asarray(batch["spec"]),
         jnp.asarray(batch["spec_lengths"]), jnp.asarray(batch["ying"]),
         jnp.asarray(batch["sid"]),
-        rng=jax.random.PRNGKey(0),
     )
-    mel = spec_to_mel(
-        jnp.asarray(batch["spec"]), hps.data.filter_length,
-        hps.data.n_mel_channels, hps.data.sampling_rate,
-        hps.data.mel_fmin, hps.data.mel_fmax,
-    )
-    ids = out["ids_slice"].astype(jnp.int32)
-    y_mel = slice_segments(mel, ids[:b], seg_frames)
-    y_hat_mel = mel_spectrogram(
-        out["wav_hier"][-1][:b, :, 0], hps.data.filter_length,
-        hps.data.n_mel_channels, hps.data.sampling_rate, hop,
-        hps.data.win_length, hps.data.mel_fmin, hps.data.mel_fmax,
-    )
-    loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel))
-    loss_yin = jnp.mean(jnp.abs(out["yin_gt_shifted_crop"] - out["yin_dec_crop"]))
-    return loss_mel, loss_yin, out, mel
 
 
 def _pad_to(arr: np.ndarray, n: int, fill: float) -> np.ndarray:
@@ -69,75 +93,99 @@ def _log_samples(model, g_params, batch, writer, global_step, hps):
     """First-batch TB payload (reference evaluate.py:84-287)."""
     hop = hps.data.hop_length
     n_sample = min(int(hps.train.get("n_sample", 1)), batch["x"].shape[0])
-    max_frames = 1024
-    key = jax.random.PRNGKey(1)
-    x = jnp.asarray(batch["x"][:n_sample])
-    t = jnp.asarray(batch["t"][:n_sample])
-    xl = jnp.asarray(batch["x_lengths"][:n_sample])
-    sid = jnp.asarray(batch["sid"][:n_sample])
 
-    dec_inputs, y_mask, y_lengths, aux = model.apply(
-        {"params": g_params}, x, t, xl, sid=sid, rng=key,
-        noise_scale=0.667, noise_scale_w=0.8, max_frames=max_frames,
-        method=SynthesizerTrn.infer_pre_decoder,
-    )
-    _, z, *_ = aux
-    y_hat = model.apply(
-        {"params": g_params}, dec_inputs, sid,
-        method=SynthesizerTrn.infer_decode_chunk,
-    )  # [B, T*hop, 1]
+    skey = ("samples", id(model), id(hps))
+    sample_fn = _JIT_CACHE.get(skey)
+    if sample_fn is None:
+        max_frames = 1024
 
-    # scope-shift(+6): re-crop the SAME latent z (reference :104-115)
-    spec_ch = model.inter_channels - model.yin_channels
-    z_spec, z_yin = z[..., :spec_ch], z[..., spec_ch:]
-    s = model.yin_start + 6
-    z_crop_shift = jnp.concatenate(
-        [z_spec, z_yin[..., s : s + model.yin_scope]], axis=-1
-    ) * y_mask
-    y_hat_shift = model.apply(
-        {"params": g_params}, z_crop_shift, sid,
-        method=SynthesizerTrn.infer_decode_chunk,
-    )
+        @jax.jit
+        def sample_fn(g_params, x, t, xl, sid, spec):
+            dec_inputs, y_mask, y_lengths, aux = model.apply(
+                {"params": g_params}, x, t, xl, sid=sid,
+                rng=jax.random.PRNGKey(1),
+                noise_scale=0.667, noise_scale_w=0.8, max_frames=max_frames,
+                method=SynthesizerTrn.infer_pre_decoder,
+            )
+            _, z, *_ = aux
+            y_hat = model.apply(
+                {"params": g_params}, dec_inputs, sid,
+                method=SynthesizerTrn.infer_decode_chunk,
+            )  # [B, T*hop, 1]
 
-    # yin-decoder reconstruction of the inferred pitch latent (:117-118)
-    yin_hat = model.apply(
-        {"params": g_params}, z_yin * y_mask, y_mask, sid,
-        rng=jax.random.PRNGKey(2),
-        method=SynthesizerTrn.yin_dec_infer,
-    )
+            # scope-shift(+6): re-crop the SAME latent z (reference :104-115)
+            spec_ch = model.inter_channels - model.yin_channels
+            z_spec, z_yin = z[..., :spec_ch], z[..., spec_ch:]
+            s = model.yin_start + 6
+            z_crop_shift = jnp.concatenate(
+                [z_spec, z_yin[..., s : s + model.yin_scope]], axis=-1
+            ) * y_mask
+            y_hat_shift = model.apply(
+                {"params": g_params}, z_crop_shift, sid,
+                method=SynthesizerTrn.infer_decode_chunk,
+            )
 
-    # yingram of generated + shifted audio, reference padding (:144-167)
-    ying_op = Yingram(
-        hps.data.sampling_rate, hop, 2048, hps.data.tau_max,
-        hps.data.midi_start, hps.data.midi_end, hps.data.octave_range,
-    )
+            # yin-decoder reconstruction of the pitch latent (:117-118)
+            yin_hat = model.apply(
+                {"params": g_params}, z_yin * y_mask, y_mask, sid,
+                rng=jax.random.PRNGKey(2),
+                method=SynthesizerTrn.yin_dec_infer,
+            )
 
-    def _ying_of(o):
-        o = o[..., 0]
-        left = hps.data.filter_length - hop
-        right = (
-            left + (-o.shape[-1]) % hop + hop * (o.shape[-1] % hop == 0)
-        )
-        return ying_op(jnp.pad(o, ((0, 0), (left, right))))
+            # yingram of generated + shifted audio, reference pad (:144-167)
+            ying_op = Yingram(
+                hps.data.sampling_rate, hop, 2048, hps.data.tau_max,
+                hps.data.midi_start, hps.data.midi_end,
+                hps.data.octave_range,
+            )
 
-    ying_hat = _ying_of(y_hat)
-    ying_hat_shift = _ying_of(y_hat_shift)
+            def _ying_of(o):
+                o = o[..., 0]
+                left = hps.data.filter_length - hop
+                right = (
+                    left + (-o.shape[-1]) % hop
+                    + hop * (o.shape[-1] % hop == 0)
+                )
+                return ying_op(jnp.pad(o, ((0, 0), (left, right))))
 
-    mel_gt = spec_to_mel(
-        jnp.asarray(batch["spec"][:n_sample]), hps.data.filter_length,
-        hps.data.n_mel_channels, hps.data.sampling_rate,
-        hps.data.mel_fmin, hps.data.mel_fmax,
+            mel_kw = (
+                hps.data.filter_length, hps.data.n_mel_channels,
+                hps.data.sampling_rate, hop, hps.data.win_length,
+                hps.data.mel_fmin, hps.data.mel_fmax,
+            )
+            return dict(
+                y_lengths=y_lengths,
+                y_hat=y_hat,
+                y_hat_shift=y_hat_shift,
+                yin_hat=yin_hat,
+                z_yin_masked=z_yin * y_mask,
+                ying_hat=_ying_of(y_hat),
+                ying_hat_shift=_ying_of(y_hat_shift),
+                mel_gt=spec_to_mel(
+                    spec, hps.data.filter_length, hps.data.n_mel_channels,
+                    hps.data.sampling_rate, hps.data.mel_fmin,
+                    hps.data.mel_fmax,
+                ),
+                mel_gen=mel_spectrogram(y_hat[..., 0], *mel_kw),
+                mel_gen_shift=mel_spectrogram(y_hat_shift[..., 0], *mel_kw),
+            )
+
+        _JIT_CACHE[skey] = sample_fn
+
+    out = sample_fn(
+        g_params,
+        jnp.asarray(batch["x"][:n_sample]),
+        jnp.asarray(batch["t"][:n_sample]),
+        jnp.asarray(batch["x_lengths"][:n_sample]),
+        jnp.asarray(batch["sid"][:n_sample]),
+        jnp.asarray(batch["spec"][:n_sample]),
     )
-    mel_gen = mel_spectrogram(
-        y_hat[..., 0], hps.data.filter_length, hps.data.n_mel_channels,
-        hps.data.sampling_rate, hop, hps.data.win_length,
-        hps.data.mel_fmin, hps.data.mel_fmax,
-    )
-    mel_gen_shift = mel_spectrogram(
-        y_hat_shift[..., 0], hps.data.filter_length, hps.data.n_mel_channels,
-        hps.data.sampling_rate, hop, hps.data.win_length,
-        hps.data.mel_fmin, hps.data.mel_fmax,
-    )
+    y_lengths = out["y_lengths"]
+    y_hat, y_hat_shift = out["y_hat"], out["y_hat_shift"]
+    yin_hat, z_yin_masked = out["yin_hat"], out["z_yin_masked"]
+    ying_hat, ying_hat_shift = out["ying_hat"], out["ying_hat_shift"]
+    mel_gt, mel_gen = out["mel_gt"], out["mel_gen"]
+    mel_gen_shift = out["mel_gen_shift"]
 
     images, audios = {}, {}
     y_len_np = np.asarray(y_lengths)
@@ -152,7 +200,7 @@ def _log_samples(model, g_params, batch, writer, global_step, hps):
             _pad_to(np.asarray(mel_gen_shift[i, :n_frames]), grid, _LOG_FLOOR)
         )
         images[f"gen/{i}_z_yin"] = plot_spectrogram_to_numpy(
-            _pad_to(np.asarray((z_yin * y_mask)[i, :n_frames]), grid, 0.0)
+            _pad_to(np.asarray(z_yin_masked[i, :n_frames]), grid, 0.0)
         )
         images[f"gen/{i}_yin_dec"] = plot_spectrogram_to_numpy(
             _pad_to(np.asarray(yin_hat[i, :n_frames]), grid, 0.0)
@@ -198,7 +246,7 @@ def evaluate(
     for bi, batch in enumerate(val_iter):
         if max_batches is not None and bi >= max_batches:
             break
-        loss_mel, loss_yin, _, _ = _val_losses(model, g_params, batch, hps)
+        loss_mel, loss_yin = _val_losses(model, g_params, batch, hps)
         mel_losses.append(float(loss_mel))
         yin_losses.append(float(loss_yin))
         if first_batch is None:
