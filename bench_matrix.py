@@ -147,6 +147,25 @@ def main():
                       "unit": "ms", "batch": bt, "frames": ty,
                       "steps_per_sec": round(1 / dt, 2)}))
 
+    # ---- scenario 5: serving request latency (engine level) ------------
+    from vits_tpu.serve.engine import TTSEngine
+
+    eng = TTSEngine("configs/config_cje.yaml")  # random-init weights
+    text = "[EN]the quick brown fox jumps over the lazy dog[EN]"
+    eng.synthesize(text, speaker_id=0, seed=0)  # warm compile
+    t0 = time.perf_counter()
+    n = 5
+    total_audio = 0.0
+    for i in range(n):
+        _, (sr_out, audio) = eng.synthesize(text, speaker_id=0, seed=i)
+        total_audio += len(audio) / sr_out
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({
+        "metric": "serving_request_latency", "value": round(dt * 1000, 1),
+        "unit": "ms", "audio_s_per_request": round(total_audio / n, 2),
+        "rtf": round(total_audio / n / dt, 1),
+    }))
+
 
 if __name__ == "__main__":
     main()
