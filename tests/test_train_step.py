@@ -216,3 +216,49 @@ def test_train_step_bf16_finite():
     # params remain f32 (policy: bf16 compute, f32 storage)
     leaf = jax.tree_util.tree_leaves(new_state.g_params)[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_nan_guard_skips_bad_update():
+    """nan_guard=True: a batch that produces non-finite losses must leave
+    params/opt-state untouched (in-graph skip), flagged in metrics."""
+    hps = HParams(
+        train=dict(
+            learning_rate=2e-4, betas=[0.8, 0.99], eps=1e-9,
+            lr_decay=0.999875, segment_size=2048, c_mel=45, c_kl=1.0,
+            c_yin=45.0, nan_guard=True,
+        ),
+        data=HPS.data,
+    )
+    model = SynthesizerTrn(**TINY)
+    disc = AvocodoDiscriminator()
+    optim_g = make_optimizer(hps, steps_per_epoch=10)
+    optim_d = make_optimizer(hps, steps_per_epoch=10)
+    batch = _make_batch()
+    state = create_train_state(
+        jax.random.PRNGKey(0), model, disc, optim_g, optim_d, batch
+    )
+    step_fn = jax.jit(
+        functools.partial(
+            train_step, model=model, disc=disc,
+            optim_g=optim_g, optim_d=optim_d, hps=hps,
+        )
+    )
+    bad = dict(batch)
+    bad["wav"] = jnp.full_like(batch["wav"], jnp.nan)
+    bad["spec"] = jnp.full_like(batch["spec"], jnp.nan)
+    new_state, metrics = step_fn(state, bad, jax.random.PRNGKey(1))
+    assert float(metrics["nan_skipped/g"]) == 1.0
+    assert float(metrics["nan_skipped/d"]) == 1.0
+    for old, new in zip(
+        jax.tree_util.tree_leaves(state.g_params),
+        jax.tree_util.tree_leaves(new_state.g_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+    assert int(new_state.step) == 1  # step still advances
+
+    # a clean batch under the same guard still updates
+    s2, m2 = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert float(m2["nan_skipped/g"]) == 0.0
+    a = jax.tree_util.tree_leaves(state.d_params)[0]
+    b = jax.tree_util.tree_leaves(s2.d_params)[0]
+    assert not np.array_equal(np.asarray(a), np.asarray(b))

@@ -246,6 +246,34 @@ def train_step(
         "grad_norm/d": optax.global_norm(d_grads),
     })
 
+    if bool(hps.train.get("nan_guard", False)):
+        # production robustness (no reference counterpart, default off):
+        # a non-finite loss or grad skips that side's update in-graph —
+        # one bad batch can't poison the run. Skips are visible as
+        # nan_skipped/{g,d} metrics; the step counter still advances so
+        # the PRNG stream and schedules stay aligned.
+        g_ok = jnp.isfinite(loss_gen_all) & jnp.isfinite(
+            metrics["grad_norm/g"]
+        )
+        d_ok = jnp.isfinite(loss_disc) & jnp.isfinite(metrics["grad_norm/d"])
+        keep = lambda ok: (  # noqa: E731
+            lambda new, old: jnp.where(ok, new, old)
+        )
+        new_g_params = jax.tree_util.tree_map(
+            keep(g_ok), new_g_params, state.g_params
+        )
+        new_g_opt_state = jax.tree_util.tree_map(
+            keep(g_ok), new_g_opt_state, state.g_opt_state
+        )
+        new_d_params = jax.tree_util.tree_map(
+            keep(d_ok), new_d_params, state.d_params
+        )
+        new_d_opt_state = jax.tree_util.tree_map(
+            keep(d_ok), new_d_opt_state, state.d_opt_state
+        )
+        metrics["nan_skipped/g"] = 1.0 - g_ok.astype(jnp.float32)
+        metrics["nan_skipped/d"] = 1.0 - d_ok.astype(jnp.float32)
+
     new_state = state.replace(
         step=state.step + 1,
         g_params=new_g_params,
