@@ -148,6 +148,14 @@ def _bench_train(hps, n_iter=10):
     except Exception:
         cost = compiled.cost_analysis() or {}
         flops_per_step = float(cost.get("flops", 0.0))
+    try:
+        mem = compiled.memory_analysis()
+        hbm_bytes = int(
+            mem.temp_size_in_bytes + mem.argument_size_in_bytes
+            + mem.output_size_in_bytes - mem.alias_size_in_bytes
+        )
+    except Exception:
+        hbm_bytes = None
 
     key = jax.random.PRNGKey(1)
     state, metrics = step_fn(state, batch, key)
@@ -164,7 +172,7 @@ def _bench_train(hps, n_iter=10):
     mfu = (
         flops_per_step * steps_per_sec / peak if peak and flops_per_step else None
     )
-    return steps_per_sec, mfu, flops_per_step
+    return steps_per_sec, mfu, flops_per_step, hbm_bytes
 
 
 def main():
@@ -213,10 +221,11 @@ def main():
         "device": jax.devices()[0].device_kind,
     }
     if not os.environ.get("VITS_BENCH_SKIP_TRAIN"):
-        steps_per_sec, mfu, flops = _bench_train(hps)
+        steps_per_sec, mfu, flops, hbm = _bench_train(hps)
         out["train_steps_per_sec"] = round(steps_per_sec, 3)
         out["train_mfu"] = round(mfu, 4) if mfu is not None else None
         out["train_flops_per_step"] = flops
+        out["train_hbm_bytes"] = hbm
     print(json.dumps(out))
 
 
