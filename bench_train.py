@@ -32,6 +32,8 @@ def main():
     parser.add_argument("--text", type=int, default=128)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--remat", action="store_true",
+                        help="gradient rematerialization (train.remat_run)")
     parser.add_argument(
         "--trace", default=None, metavar="DIR",
         help="capture a jax.profiler trace of the timed loop into DIR",
@@ -39,6 +41,8 @@ def main():
     args = parser.parse_args()
 
     hps = load_hparams("configs/config_cje.yaml")
+    if args.remat:
+        hps.train["remat_run"] = True
     model = SynthesizerTrn(**synthesizer_kwargs(hps, len(symbols)), bf16=args.bf16)
     disc = AvocodoDiscriminator(bf16=args.bf16)
     optim_g = make_optimizer(hps, steps_per_epoch=100)

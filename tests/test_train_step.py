@@ -262,3 +262,48 @@ def test_nan_guard_skips_bad_update():
     a = jax.tree_util.tree_leaves(state.d_params)[0]
     b = jax.tree_util.tree_leaves(s2.d_params)[0]
     assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_remat_matches_plain_step():
+    """remat_run=True replays the same math — losses must match the plain
+    step to float tolerance and params must still update."""
+    hps_r = HParams(
+        train=dict(
+            learning_rate=2e-4, betas=[0.8, 0.99], eps=1e-9,
+            lr_decay=0.999875, segment_size=2048, c_mel=45, c_kl=1.0,
+            c_yin=45.0, remat_run=True,
+        ),
+        data=HPS.data,
+    )
+    model = SynthesizerTrn(**TINY)
+    disc = AvocodoDiscriminator()
+    optim_g = make_optimizer(HPS, steps_per_epoch=10)
+    optim_d = make_optimizer(HPS, steps_per_epoch=10)
+    batch = _make_batch()
+    state = create_train_state(
+        jax.random.PRNGKey(0), model, disc, optim_g, optim_d, batch
+    )
+
+    def run(hps):
+        fn = jax.jit(
+            functools.partial(
+                train_step, model=model, disc=disc,
+                optim_g=optim_g, optim_d=optim_d, hps=hps,
+            )
+        )
+        return fn(state, batch, jax.random.PRNGKey(1))
+
+    s_plain, m_plain = run(HPS)
+    s_remat, m_remat = run(hps_r)
+    np.testing.assert_allclose(
+        float(m_remat["loss/g/total"]), float(m_plain["loss/g/total"]),
+        rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        float(m_remat["loss/d/total"]), float(m_plain["loss/d/total"]),
+        rtol=1e-4,
+    )
+    a = jax.tree_util.tree_leaves(s_plain.g_params)[0]
+    b = jax.tree_util.tree_leaves(s_remat.g_params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                               atol=1e-6)

@@ -146,6 +146,12 @@ def train_step(
         out["scope_shift"] = out["scope_shift"].astype(jnp.float32)
         return out
 
+    remat = bool(hps.train.get("remat_run", False))
+    if remat:
+        # rematerialization: store only the generator INPUTS and replay the
+        # forward during the backward pass — trades ~1 extra G forward for
+        # the dominant activation memory, unlocking larger per-chip batch
+        gen_fn = jax.checkpoint(gen_fn)
     gen_out, gen_vjp = jax.vjp(gen_fn, state.g_params)
     ids = gen_out["ids_slice"].astype(jnp.int32)  # [2B], halves identical
 
@@ -161,10 +167,16 @@ def train_step(
     # ---- 2. discriminator step (reference :92-111) ----------------------
     fake_hier = gen_out["wav_hier"]  # values; no grad flows to G from here
 
+    def disc_apply(d_params, y_in, fakes):
+        return disc.apply({"params": d_params}, y_in, fakes)
+
+    if remat:
+        disc_apply = jax.checkpoint(disc_apply)
+
     def d_loss_fn(d_params):
         aug_y, aug_yhat_last = phaseaug_sync(y_sliced, fake_hier[-1], aug_d_rng)
         fakes = [fake_hier[0], fake_hier[1], aug_yhat_last]
-        y_d_r, y_d_g, _, _ = disc.apply({"params": d_params}, aug_y, fakes)
+        y_d_r, y_d_g, _, _ = disc_apply(d_params, aug_y, fakes)
         loss_disc, r_losses, g_losses = L.discriminator_loss(y_d_r, y_d_g)
         return loss_disc, (sum(r_losses), sum(g_losses))
 
@@ -180,9 +192,7 @@ def train_step(
     def g_loss_fn(out):
         aug_y, aug_yhat_last = phaseaug_sync(y_sliced, out["wav_hier"][-1], aug_g_rng)
         fakes = [out["wav_hier"][0], out["wav_hier"][1], aug_yhat_last]
-        y_d_r, y_d_g, fmap_r, fmap_g = disc.apply(
-            {"params": new_d_params}, aug_y, fakes
-        )
+        y_d_r, y_d_g, fmap_r, fmap_g = disc_apply(new_d_params, aug_y, fakes)
         y_hat_mel = mel_spectrogram(
             out["wav_hier"][-1][:b, :, 0],
             hps.data.filter_length, hps.data.n_mel_channels,
