@@ -71,6 +71,13 @@ def conv_flops(line: str, shape_of: dict[str, list[int]]) -> float:
                 # them out of rhs if 'i' aliases one (it never does: labels
                 # are distinct), so this is just the 'i' extent.
                 cipg = rhs_shape[i_pos]
+    # batch-grouped convs (XLA weight-gradient convs for grouped/depthwise
+    # forward convs): the contraction only spans batch/bgc elements per
+    # output group, so the dense count overcounts by exactly bgc
+    mb = _BGC.search(line)
+    bgc = int(mb.group(1)) if mb else 1
+    if bgc > 1 and cipg % bgc == 0:
+        cipg //= bgc
     out_elems = math.prod(out_shape)
     return 2.0 * out_elems * window * cipg
 

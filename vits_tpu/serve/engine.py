@@ -347,11 +347,42 @@ class TTSEngine:
         self._vc_fn = _vc
         return _vc
 
+    # samples of overlap between successive VC windows (hop-aligned);
+    # seams are linearly cross-faded
+    VC_OVERLAP = 8192
+
     def voice_conversion(self, wav: np.ndarray, sid_src: int, sid_tgt: int, seed: int = 0):
         """Waveform -> target-speaker waveform via the shared flow.
 
         Input pads up to VC_BUCKETS (one warm compile per bucket); the
-        padded tail is masked out via the true frame count and trimmed."""
+        padded tail is masked out via the true frame count and trimmed.
+        Audio longer than the largest bucket is converted in overlapping
+        bucket-sized windows and cross-faded at the seams — nothing is
+        silently truncated."""
+        n = len(wav)
+        limit = self.VC_BUCKETS[-1]
+        if n <= limit:
+            return self._vc_window(wav, sid_src, sid_tgt, seed)
+        step = limit - self.VC_OVERLAP
+        out = np.zeros(n, np.float32)
+        weight = np.zeros(n, np.float32)
+        ramp = np.linspace(0.0, 1.0, self.VC_OVERLAP, dtype=np.float32)
+        for start in range(0, n, step):
+            piece = wav[start : start + limit]
+            conv = self._vc_window(piece, sid_src, sid_tgt, seed)
+            m = len(conv)
+            w = np.ones(m, np.float32)
+            if start > 0:
+                w[: self.VC_OVERLAP] = ramp[:m]
+            if start + limit < n:
+                w[-self.VC_OVERLAP :] = ramp[::-1][-m:]
+            out[start : start + m] += conv * w
+            weight[start : start + m] += w
+            if start + limit >= n:
+                break
+        return out / np.maximum(weight, 1e-8)
+
+    def _vc_window(self, wav: np.ndarray, sid_src: int, sid_tgt: int, seed: int):
         hop = self.hps.data.hop_length
         n = len(wav)
         bucket = next(

@@ -25,16 +25,38 @@ from vits_tpu.utils.logging_utils import plot_spectrogram_to_numpy, summarize
 _LOG_FLOOR = -11.5129  # log(1e-5), the reference's mel padding value
 
 
-# jitted-program cache keyed by (tag, model identity): evaluate runs every
-# eval_interval with the same model object, so each program compiles once
-# per process (per batch-bucket shape). Running these eagerly costs
-# thousands of per-op dispatches per eval — ~70 s/eval measured.
+# jitted-program cache: evaluate runs every eval_interval with the same
+# model, so each program compiles once per process (per batch-bucket
+# shape). Running these eagerly costs thousands of per-op dispatches per
+# eval — ~70 s/eval measured. The cache holds programs for ONE
+# (model, hps-values) generation at a time: a caller that constructs a
+# fresh model/hps per evaluate() call evicts the previous entry instead of
+# leaking one compiled program (plus its closed-over model) per call.
 _JIT_CACHE: dict = {}
+_JIT_CACHE_GEN: list = [None]  # (id(model), hps value tuple) of cached gen
+
+
+def _hps_cache_key(hps) -> tuple:
+    d, t = hps.data, hps.train
+    return (
+        d.hop_length, d.filter_length, d.win_length, d.n_mel_channels,
+        d.sampling_rate, d.mel_fmin, d.mel_fmax, t.segment_size,
+        int(t.get("n_sample", 1)),
+    )
+
+
+def _jit_cache_for(model, hps) -> dict:
+    gen = (id(model), _hps_cache_key(hps))
+    if _JIT_CACHE_GEN[0] != gen:
+        _JIT_CACHE.clear()
+        _JIT_CACHE_GEN[0] = gen
+    return _JIT_CACHE
 
 
 def _val_loss_fn(model, hps):
-    key = ("val", id(model), id(hps))
-    fn = _JIT_CACHE.get(key)
+    cache = _jit_cache_for(model, hps)
+    key = "val"
+    fn = cache.get(key)
     if fn is not None:
         return fn
     hop = hps.data.hop_length
@@ -64,7 +86,7 @@ def _val_loss_fn(model, hps):
         )
         return loss_mel, loss_yin
 
-    _JIT_CACHE[key] = fn
+    cache[key] = fn
     return fn
 
 
@@ -94,8 +116,9 @@ def _log_samples(model, g_params, batch, writer, global_step, hps):
     hop = hps.data.hop_length
     n_sample = min(int(hps.train.get("n_sample", 1)), batch["x"].shape[0])
 
-    skey = ("samples", id(model), id(hps))
-    sample_fn = _JIT_CACHE.get(skey)
+    cache = _jit_cache_for(model, hps)
+    skey = "samples"
+    sample_fn = cache.get(skey)
     if sample_fn is None:
         max_frames = 1024
 
@@ -170,7 +193,7 @@ def _log_samples(model, g_params, batch, writer, global_step, hps):
                 mel_gen_shift=mel_spectrogram(y_hat_shift[..., 0], *mel_kw),
             )
 
-        _JIT_CACHE[skey] = sample_fn
+        cache[skey] = sample_fn
 
     out = sample_fn(
         g_params,

@@ -259,8 +259,12 @@ def train_step(
         # production robustness (no reference counterpart, default off):
         # a non-finite loss or grad skips that side's update in-graph —
         # one bad batch can't poison the run. Skips are visible as
-        # nan_skipped/{g,d} metrics; the step counter still advances so
-        # the PRNG stream and schedules stay aligned.
+        # nan_skipped/{g,d} metrics; state.step still advances so the
+        # PRNG stream stays aligned. NOTE: the optax count inside the
+        # reverted opt_state does NOT advance on a skip, so any
+        # count-driven optimizer schedule trails state.step by one per
+        # skipped update (the shipped per-epoch LR decay is keyed off
+        # epochs, not the optax count, and is unaffected).
         g_ok = jnp.isfinite(loss_gen_all) & jnp.isfinite(
             metrics["grad_norm/g"]
         )
