@@ -100,8 +100,10 @@ def test_tp_shard_generator_placement():
 
     def check(path, leaf):
         keys = [getattr(p, "key", "") for p in path]
-        spec = leaf.sharding.spec
-        if "waveform_decoder" in keys and "model" in jax.tree_util.tree_leaves(spec):
+        # PartitionSpec is a single pytree leaf in jax 0.9 — iterate it
+        # directly to see the axis names.
+        spec = tuple(leaf.sharding.spec)
+        if "waveform_decoder" in keys and "model" in spec:
             found_sharded.append("/".join(str(k) for k in keys))
         elif "waveform_decoder" not in keys:
             assert all(s is None for s in spec), (keys, spec)
