@@ -73,7 +73,8 @@ def test_japanese_accent_fallback():
     assert jro("せんせい") == "se↑Nse↓e"  # nucleus 3 + ei->ee through arrows
     assert jro("トーキョー") == "to↑okyoo"  # long vowels through arrows
     # marks transliterate to ASCII (the unidecode role, ref japanese.py:106)
-    assert jro("はい、そうです。") == "ha↓i, so↑odesu."
+    # そうです carries nucleus 1 in the accent lexicon (OJAD: そ↘ーです)
+    assert jro("はい、そうです。") == "ha↓i, so↓odesu."
     ipa = japanese_to_ipa("ありがとう")
     assert "↑" in ipa and "↓" in ipa
     assert all(c in symbols for c in ipa), ipa
@@ -233,3 +234,50 @@ def test_char_convert_full_reference_parity():
         assert simplified_to_traditional(s) == ref.simplified_to_traditional(s)
     # rare traditional characters no longer pass through untranslated
     assert traditional_to_simplified("龜鬱釁") == "龟郁衅"
+
+
+# -- [JA] kanji fallback: dependency-free golden sentences -------------------
+# (VERDICT round-2 item #2: mixed kanji/kana text must read through the
+# vendored kanji_dict lexicon instead of silently vanishing; reference
+# behavior comes from pyopenjtalk, /root/reference/text/japanese.py:58-108.)
+
+
+def test_ja_kanji_fallback_goldens():
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    assert jro("今日はいい天気ですね") == "kyo↓owa i↓i te↓Nkidesune"
+    # topic は reads わ, object を reads お, direction へ reads え
+    assert jro("東京へ行きます") == "to↑okyooe i↑kima↓su"
+    assert jro("水を飲む") == "mi↑zuo no↓mu"
+    # digits + counters: 3人 -> さんにん, 5時 -> ごじ; verb stem 会い rejoins
+    assert jro("3人で5時に会いましょう") == "sa↑NniNde go↑jini a↑imaʃoo"
+    # date counters: 1日 -> ついたち, 1月 -> いちがつ (irregular readings)
+    assert jro("1月1日") == "i↑ʧigatsu tsu↑itaʧi"
+
+
+def test_ja_kanji_fallback_ipa_encodable():
+    sentences = [
+        "私は日本語を勉強しています",
+        "彼は学生です",
+        "明日の朝8時に駅で会いましょう",
+        "この映画はとても面白かったです",
+    ]
+    for s in sentences:
+        ipa = japanese_to_ipa(s)
+        assert len(ipa) > 5, (s, ipa)
+        assert "↑" in ipa or "↓" in ipa, (s, ipa)  # accent arrows present
+        kept = [c for c in ipa if c in symbols]
+        # nothing silently vanishes: >90% of the IPA stream is encodable
+        assert len(kept) >= 0.9 * len(ipa), (s, ipa)
+        cleaned, lang = clean_text(f"[JA]{s}[JA]")
+        assert len(cleaned) == len(lang) > 5, (s, cleaned)
+
+
+def test_ja_kanji_every_char_readable():
+    """No kanji in the vendored WORDS lexicon drops to an empty reading."""
+    from vits_tpu.text.kanji_dict import WORDS, CHARS
+
+    for word in WORDS:
+        for ch in word:
+            if 0x4E00 <= ord(ch) <= 0x9FFF:
+                assert ch in CHARS, f"kanji {ch} (from {word}) has no fallback"

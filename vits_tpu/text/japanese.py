@@ -111,29 +111,253 @@ _KANA_EXCEPTIONS = {
     "こんばんは": "こんばんわ",
 }
 
-# Tokyo pitch-accent lexicon for the kana fallback: kana -> accent nucleus
-# mora (0 = heiban). Standard-Japanese accent facts (NHK accent conventions)
-# for common vocabulary; everything else defaults to heiban, which is the
-# majority pattern and reproduces openjtalk's initial rise.
-_ACCENT_LEXICON = {
-    "こんにちわ": 0, "こんばんわ": 0, "おはよう": 0,
-    "ありがとう": 2, "すみません": 4, "さようなら": 4,
-    "はい": 1, "いいえ": 3,
-    "わたし": 0, "あなた": 2, "みんな": 3,
-    "にほん": 2, "にほんご": 0, "とうきょう": 0,
-    "せんせい": 3, "がっこう": 0, "ともだち": 0, "かぞく": 1,
-    "てんき": 1, "あめ": 1, "ゆき": 2, "かぜ": 0, "そら": 1,
-    "うみ": 1, "やま": 2, "かわ": 2, "はな": 2, "き": 1,
-    "ねこ": 1, "いぬ": 2, "とり": 0, "さかな": 0,
-    "みず": 0, "おちゃ": 0, "ごはん": 1, "にく": 2, "たまご": 2,
-    "ほん": 1, "くるま": 0, "でんわ": 0, "えいが": 1, "おんがく": 1,
-    "いま": 1, "きょう": 1, "あした": 3, "きのう": 2, "まいにち": 1,
-    "たべる": 2, "のむ": 1, "みる": 1, "きく": 0, "はなす": 2,
-    "よむ": 1, "かく": 1, "くる": 1, "いく": 0, "かえる": 1,
-    "おいしい": 3, "たのしい": 3, "うれしい": 3, "かわいい": 3,
-    "おおきい": 3, "ちいさい": 3, "あたらしい": 4, "きれい": 1,
-    "げんき": 1, "だいじょうぶ": 3, "おねがいします": 5,
+# reading -> Tokyo accent nucleus, derived from the word lexicon; used for
+# kana-only input that matches no surface entry (e.g. せんせい typed in kana)
+from vits_tpu.text.kanji_dict import WORDS as _WORDS, CHARS as _CHAR_READINGS
+
+_READING_ACCENT: dict[str, int] = {}
+for _surf, (_read, _acc) in _WORDS.items():
+    if _acc is not None:
+        _READING_ACCENT.setdefault(_read, _acc)
+
+# particles / auxiliaries that attach to the preceding accent phrase.
+# Topic は reads わ, direction へ reads え, object を reads お — the openjtalk
+# pronunciations the plain kana table cannot produce
+# (reference japanese.py:58-73 gets these from the full-context labels).
+_ATTACH = {
+    "は": "わ", "へ": "え", "を": "お",
+    "が": "が", "に": "に", "で": "で", "と": "と", "も": "も", "の": "の",
+    "や": "や", "か": "か", "ね": "ね", "よ": "よ", "な": "な", "ぞ": "ぞ",
+    "さ": "さ", "わ": "わ",
+    "から": "から", "まで": "まで", "より": "より", "ほど": "ほど",
+    "など": "など", "だけ": "だけ", "しか": "しか", "ばかり": "ばかり",
+    "くらい": "くらい", "ぐらい": "ぐらい", "ながら": "ながら",
+    "のに": "のに", "ので": "ので", "けど": "けど", "けれど": "けれど",
+    "でも": "でも", "では": "でわ", "には": "にわ", "とは": "とわ",
+    "です": "です", "でした": "でした", "でしょう": "でしょう",
+    "ます": "ます", "ました": "ました", "ません": "ません",
+    "ましょう": "ましょう", "ください": "ください",
+    "だ": "だ", "だった": "だった", "じゃない": "じゃない",
+    "ですね": "ですね", "ですよ": "ですよ", "ですか": "ですか",
 }
+
+_MAX_SURFACE = max(
+    max(len(k) for k in _WORDS), max(len(k) for k in _ATTACH)
+)
+
+# --- digit runs -> kana (openjtalk reads numbers; the fallback must too) ---
+
+_NUM_KANA = ["ぜろ", "いち", "に", "さん", "よん", "ご", "ろく", "なな",
+             "はち", "きゅう"]
+_NUM_HYAKU = {3: "さんびゃく", 6: "ろっぴゃく", 8: "はっぴゃく"}
+_NUM_SEN = {3: "さんぜん", 8: "はっせん"}
+
+
+def _number_to_kana(digits: str) -> str:
+    n = int(digits)
+    if n == 0:
+        return "ぜろ"
+    if n >= 10**8:  # read digit-by-digit beyond 億 range
+        return "".join(_NUM_KANA[int(d)] for d in digits)
+    out = ""
+    man, rest = divmod(n, 10000)
+    if man:
+        out += (_number_to_kana(str(man)) if man > 1 else "いち") + "まん"
+    sen, rest = divmod(rest, 1000)
+    if sen:
+        out += _NUM_SEN.get(sen, ("" if sen == 1 else _NUM_KANA[sen]) + "せん")
+    hyaku, rest = divmod(rest, 100)
+    if hyaku:
+        out += _NUM_HYAKU.get(
+            hyaku, ("" if hyaku == 1 else _NUM_KANA[hyaku]) + "ひゃく"
+        )
+    juu, one = divmod(rest, 10)
+    if juu:
+        out += ("" if juu == 1 else _NUM_KANA[juu]) + "じゅう"
+    if one:
+        out += _NUM_KANA[one]
+    return out
+
+
+# counters after an ASCII-digit run: base readings + the common euphonic
+# changes (いち+ほん -> いっぽん etc.) and irregulars (4人 よにん, 1人 ひとり)
+_COUNTERS = {
+    "人": "にん", "個": "こ", "本": "ほん", "分": "ふん", "時": "じ",
+    "日": "にち", "月": "がつ", "年": "ねん", "円": "えん", "回": "かい",
+    "歳": "さい", "才": "さい", "冊": "さつ", "枚": "まい", "台": "だい",
+    "匹": "ひき", "度": "ど", "番": "ばん", "階": "かい", "秒": "びょう",
+    "週": "しゅう", "点": "てん", "頭": "とう", "杯": "はい", "軒": "けん",
+}
+_COUNTER_IRREGULAR = {
+    ("1", "人"): "ひとり", ("2", "人"): "ふたり", ("4", "人"): "よにん",
+    ("4", "時"): "よじ", ("9", "時"): "くじ", ("4", "年"): "よねん",
+    ("7", "時"): "しちじ", ("1", "日"): "ついたち", ("2", "日"): "ふつか",
+    ("3", "日"): "みっか", ("4", "日"): "よっか", ("5", "日"): "いつか",
+    ("6", "日"): "むいか", ("7", "日"): "なのか", ("8", "日"): "ようか",
+    ("9", "日"): "ここのか", ("10", "日"): "とおか", ("20", "日"): "はつか",
+    ("4", "月"): "しがつ", ("7", "月"): "しちがつ", ("9", "月"): "くがつ",
+}
+_GEMINATING = set("かきくけこさしすせそたちつてとぱぴぷぺぽ")
+_H_TO_P = {"は": "ぱ", "ひ": "ぴ", "ふ": "ぷ", "へ": "ぺ", "ほ": "ぽ"}
+_H_TO_B = {"は": "ば", "ひ": "び", "ふ": "ぶ", "へ": "べ", "ほ": "ぼ"}
+
+
+def _counter_reading(digits: str, counter: str) -> str:
+    if (digits, counter) in _COUNTER_IRREGULAR:
+        return _COUNTER_IRREGULAR[(digits, counter)]
+    base = _COUNTERS[counter]
+    num = _number_to_kana(digits)
+    head = base[0]
+    if head in _H_TO_P:  # h-row counters: 1/6/8/10 geminate+p, 3/ん voice
+        if num.endswith("いち"):
+            return num[:-2] + "いっ" + _H_TO_P[head] + base[1:]
+        if num.endswith("ろく"):
+            return num[:-2] + "ろっ" + _H_TO_P[head] + base[1:]
+        if num.endswith("はち"):
+            return num[:-2] + "はっ" + _H_TO_P[head] + base[1:]
+        if num.endswith("じゅう"):
+            return num[:-3] + "じゅっ" + _H_TO_P[head] + base[1:]
+        if num.endswith("ん"):
+            return num + _H_TO_B[head] + base[1:]
+        return num + base
+    if head in _GEMINATING:
+        if num.endswith("いち"):
+            return num[:-2] + "いっ" + base
+        if num.endswith("はち") and head in "かきくけこ":
+            return num[:-2] + "はっ" + base
+        if num.endswith("じゅう") and head in "かきくけこ":
+            return num[:-3] + "じゅっ" + base
+    return num + base
+
+
+def _is_kana(ch: str) -> bool:
+    code = ord(ch)
+    return 0x3041 <= code <= 0x30FF or ch == "ー"
+
+
+def _is_kanji(ch: str) -> bool:
+    return 0x4E00 <= ord(ch) <= 0x9FFF or ch == "々"
+
+
+def _segment(chunk: str) -> list[tuple[str, str, int | None]]:
+    """Min-cost segmentation of a mixed kanji/kana/digit chunk.
+
+    Returns tokens (kind, reading, accent) where kind is one of
+    'word' | 'attach' | 'num' | 'kanji' | 'kana' | 'other'. The cost model
+    prefers lexicon words, then particles (so 今日はいい splits 今日/は/いい
+    rather than stealing はい), then per-character fallbacks.
+    """
+    n = len(chunk)
+    INF = float("inf")
+    best = [INF] * (n + 1)
+    best[0] = 0.0
+    back: list[tuple[int, tuple[str, str, int | None]] | None] = [None] * (n + 1)
+
+    for i in range(n):
+        if best[i] == INF:
+            continue
+
+        def relax(j: int, cost: float, tok: tuple[str, str, int | None]):
+            if best[i] + cost < best[j]:
+                best[j] = best[i] + cost
+                back[j] = (i, tok)
+
+        for ln in range(min(_MAX_SURFACE, n - i), 0, -1):
+            s = chunk[i : i + ln]
+            if s in _WORDS:
+                read, acc = _WORDS[s]
+                relax(i + ln, 1.0 - 0.01 * ln, ("word", read, acc))
+            elif ln >= 3 and s in _READING_ACCENT:
+                # kana spelling of a lexicon word (がっこう for 学校):
+                # slightly dearer than a surface match, far cheaper than
+                # falling apart into per-character kana. Only ≥3 kana —
+                # 2-mora readings (いま, しょう) would steal okurigana from
+                # verb stems (会い|ましょう); short kana runs still pick up
+                # their accent via the merged-kana _READING_ACCENT lookup.
+                relax(i + ln, 1.1 - 0.01 * ln, ("word", s, _READING_ACCENT[s]))
+            if s in _ATTACH:
+                # particles/auxiliaries only attach to a preceding phrase
+                # head; at chunk start (or after a bare-kana run) the kana
+                # belongs to a word (がっこう must not lose its が). back[i]
+                # is final here: all edges into i come from positions < i.
+                prev = back[i]
+                if prev is not None and prev[1][0] in (
+                    "word", "attach", "num", "kanji"
+                ):
+                    relax(i + ln, 0.6, ("attach", _ATTACH[s], None))
+        ch = chunk[i]
+        if ch.isdigit():
+            j = i
+            while j < n and chunk[j].isdigit():
+                j += 1
+            digits = chunk[i:j]
+            if j < n and chunk[j] in _COUNTERS and chunk[i:j + 1] not in _WORDS:
+                relax(j + 1, 1.0, ("num", _counter_reading(digits, chunk[j]), None))
+            relax(j, 1.2, ("num", _number_to_kana(digits), None))
+        elif _is_kanji(ch):
+            if ch in _CHAR_READINGS:
+                relax(i + 1, 1.8, ("kanji", _CHAR_READINGS[ch], None))
+            else:
+                relax(i + 1, 3.0, ("kanji", "", None))
+        elif _is_kana(ch):
+            relax(i + 1, 2.5, ("kana", _katakana_to_hiragana(ch), None))
+        else:
+            relax(i + 1, 3.0, ("other", ch, None))
+
+    tokens: list[tuple[str, str, int | None]] = []
+    j = n
+    while j > 0:
+        i, tok = back[j]
+        tokens.append(tok)
+        j = i
+    tokens.reverse()
+    # merge consecutive unknown-kana characters into one token and give the
+    # merged reading a lexicon accent when one exists (せんせい -> 3)
+    merged: list[tuple[str, str, int | None]] = []
+    for tok in tokens:
+        if tok[0] == "kana" and merged and merged[-1][0] == "kana":
+            read = merged[-1][1] + tok[1]
+            merged[-1] = ("kana", read, _READING_ACCENT.get(read))
+        else:
+            kind, read, acc = tok
+            if kind == "kana":
+                acc = _READING_ACCENT.get(read)
+            merged.append((kind, read, acc))
+    return merged
+
+
+def _assemble_phrases(
+    tokens: list[tuple[str, str, int | None]]
+) -> list[tuple[str, int]]:
+    """Group tokens into accent phrases: a head word plus trailing
+    particles/auxiliaries (openjtalk's accent-phrase segmentation, realized
+    from the lexicon); the phrase accent is the head word's nucleus."""
+    phrases: list[tuple[str, int]] = []
+    cur = ""
+    cur_acc: int | None = None
+    prev_kind = ""
+
+    def flush():
+        nonlocal cur, cur_acc
+        if cur:
+            phrases.append((cur, cur_acc if cur_acc is not None else 0))
+        cur, cur_acc = "", None
+
+    for kind, read, acc in tokens:
+        if not read:
+            continue
+        if kind == "attach" and cur:
+            cur += read
+        elif kind == "kanji" and cur and prev_kind in ("word", "kanji", "num"):
+            cur += read  # unknown compound continues the phrase
+        elif kind == "kana" and cur and prev_kind not in ("", "attach"):
+            cur += read  # okurigana / inflection tail
+        else:
+            flush()
+            cur, cur_acc = read, acc
+        prev_kind = kind
+    flush()
+    return phrases
 
 
 def _kana_moras(kana: str) -> list[str]:
@@ -173,18 +397,42 @@ def _kana_to_romaji(text: str, accent: bool = False) -> str:
     text = _katakana_to_hiragana(text)
     for k, v in _KANA_EXCEPTIONS.items():
         text = text.replace(k, v)
-    moras = _kana_moras(text)
-    nucleus = _ACCENT_LEXICON.get(text, 0) if accent else None
+    if not accent:
+        moras = _kana_moras(text)
+        out = ""
+        for mora in moras:
+            out += _mora_to_romaji(mora, out)
+        return out
+    nucleus = _READING_ACCENT.get(text, 0)
+    return _phrase_to_romaji(text, nucleus)
+
+
+def _phrase_to_romaji(kana: str, nucleus: int) -> str:
+    """One accent phrase (reading in hiragana) -> romaji with ↑/↓ arrows per
+    the module docstring rules."""
+    moras = _kana_moras(kana)
     out = ""
     for idx, mora in enumerate(moras, start=1):
         out += _mora_to_romaji(mora, out)
-        if not accent or idx >= len(moras):
+        if idx >= len(moras):
             continue  # phrase-final: no following mora, no audible arrow
         if nucleus == idx:
             out += "↓"
-        elif idx == 1:
+        elif idx == 1 and nucleus != 1:
             out += "↑"
     return out
+
+
+def _fallback_sentence_to_romaji(sentence: str) -> str:
+    """Mixed kanji/kana/digit text -> accent-phrase romaji, the openjtalk
+    role (reference japanese.py:58-108) realized from the vendored lexicon:
+    segment (kanji_dict longest-match DP), group into accent phrases,
+    read particles (は->わ, へ->え, を->お) and numbers, emit arrows.
+    Accent phrases are space-separated, as the full-context path does."""
+    phrases = _assemble_phrases(_segment(sentence))
+    return " ".join(
+        _phrase_to_romaji(kana, nucleus) for kana, nucleus in phrases
+    )
 
 
 def symbols_to_japanese(text: str) -> str:
@@ -234,7 +482,7 @@ def japanese_to_romaji_with_accent(text: str) -> str:
             if use_ojt:
                 out += _romaji_accent_openjtalk(sentence)
             else:
-                out += _kana_to_romaji(sentence, accent=True)
+                out += _fallback_sentence_to_romaji(sentence)
         if i < len(marks):
             out += _translit_marks(marks[i])
     return out
