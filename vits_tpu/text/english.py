@@ -40,9 +40,12 @@ ARPA_TO_IPA = {
     "y": "j",
 }
 
-# built-in lexicon for the dependency-free fallback (frequent words +
-# function words whose rule-based reading would be wrong)
-_LEXICON = {
+# built-in lexicon for the dependency-free fallback: the vendored
+# CMU-derived frequent-word dictionary (text/en_dict.py, ~1,900 base forms
+# with stress marks) layered over the original small seed list below; the
+# affix layer in _word_to_ipa_fallback derives regular inflections, so the
+# effective form coverage is several times larger.
+_SEED_LEXICON = {
     "a": "ə", "an": "æn", "the": "ðə", "of": "əv", "to": "tu", "and": "ænd",
     "in": "ɪn", "is": "ɪz", "it": "ɪt", "you": "ju", "that": "ðæt",
     "he": "hi", "she": "ʃi", "was": "wəz", "for": "fɔɹ", "are": "ɑɹ",
@@ -73,6 +76,14 @@ _LEXICON = {
     "new": "nu", "sound": "saʊnd", "work": "wəɹk", "three": "θɹi",
     "word's": "wəɹdz", "give": "gɪv",
 }
+
+from vits_tpu.text.en_dict import WORDS as _EN_DICT  # noqa: E402
+
+_LEXICON = dict(_SEED_LEXICON)
+_LEXICON.update(_EN_DICT)  # the vendored dictionary wins (adds stress marks)
+
+_SIBILANT_FINAL = tuple("szʃʒʧʤ")
+_VOICELESS_FINAL = tuple("ptkfθ")
 
 # ordered rule-based letter-to-sound rules (fallback path only)
 _LTS_RULES = [
@@ -117,19 +128,126 @@ def _strip_accents(text: str) -> str:
     )
 
 
+def _plural_suffix(base_ipa: str) -> str:
+    """-s allomorph: /ɪz/ after sibilants, /s/ after voiceless, else /z/."""
+    if base_ipa.endswith(_SIBILANT_FINAL):
+        return "ɪz"
+    if base_ipa.endswith(_VOICELESS_FINAL):
+        return "s"
+    return "z"
+
+
+def _past_suffix(base_ipa: str) -> str:
+    """-ed allomorph: /ɪd/ after t,d; /t/ after voiceless; else /d/."""
+    if base_ipa.endswith(("t", "d")):
+        return "ɪd"
+    if base_ipa.endswith(_VOICELESS_FINAL) or base_ipa.endswith(
+            ("s", "ʃ", "ʧ")):
+        return "t"
+    return "d"
+
+
+def _derived(base_ipa: str, suffix: str) -> str:
+    """Attach a derivational suffix, adding word-initial stress when the
+    suffix makes a monosyllabic base polysyllabic (eng_to_ipa marks stress
+    in polysyllables only: play -> ˈpleɪɪŋ, walked stays wɔkt)."""
+    if base_ipa.endswith("l") and suffix == "li":
+        out = base_ipa + "i"  # careful + ly -> ˈkɛrfəli, not -lli
+    else:
+        out = base_ipa + suffix
+    if "ˈ" not in out and any(v in suffix for v in "ɪəaeiouæɛʊɔ"):
+        out = "ˈ" + out
+    return out
+
+
+def _lexicon_base(stem: str) -> str | None:
+    """Look up a stem allowing silent-e restore, consonant undoubling
+    (stopp -> stop), and y->i spelling (happi -> happy)."""
+    if stem in _LEXICON:
+        return _LEXICON[stem]
+    if stem + "e" in _LEXICON:  # making -> make
+        return _LEXICON[stem + "e"]
+    if (len(stem) >= 3 and stem[-1] == stem[-2]
+            and stem[:-1] in _LEXICON):  # stopp -> stop
+        return _LEXICON[stem[:-1]]
+    if stem.endswith("i") and stem[:-1] + "y" in _LEXICON:  # happi -> happy
+        return _LEXICON[stem[:-1] + "y"]
+    return None
+
+
 def _word_to_ipa_fallback(word: str) -> str:
     if word in _LEXICON:
         return _LEXICON[word]
-    if word.endswith("s") and word[:-1] in _LEXICON:
-        base = _LEXICON[word[:-1]]
-        return base + ("z" if base[-1] in "aeiouɑæəɛɪʊbdgvðlmnŋɹ" else "s")
+    # ---- affix layer: derive regular inflections from lexicon bases ----
+    if word.endswith("'s") or word.endswith("s'"):
+        base = _lexicon_base(word[:-2])
+        if base is not None:
+            return _derived(base, _plural_suffix(base))
+    if word.endswith("ies") and word[:-3] + "y" in _LEXICON:
+        # cities -> city (+z after the -i), flies -> fly (+z after -aɪ)
+        return _LEXICON[word[:-3] + "y"] + "z"
+    if word.endswith("es"):
+        base = _lexicon_base(word[:-2])
+        if base is not None:
+            return _derived(base, _plural_suffix(base))
+    if word.endswith("s") and not word.endswith("ss"):
+        base = _lexicon_base(word[:-1])
+        if base is not None:
+            return _derived(base, _plural_suffix(base))
+    if word.endswith("ied") and word[:-3] + "y" in _LEXICON:
+        base = _LEXICON[word[:-3] + "y"]  # carried -> carry
+        return base + "d"
+    if word.endswith("ed"):
+        base = _lexicon_base(word[:-2]) or _lexicon_base(word[:-1])
+        if base is not None:
+            return _derived(base, _past_suffix(base))
+    if word.endswith("ing"):
+        base = _lexicon_base(word[:-3])
+        if base is not None:
+            return _derived(base, "ɪŋ")
+    if word.endswith("est"):
+        base = _lexicon_base(word[:-3])
+        if base is not None:
+            return _derived(base, "əst")
+    if word.endswith("er"):
+        base = _lexicon_base(word[:-2]) or _lexicon_base(word[:-1])
+        if base is not None:
+            return _derived(base, "ər")
+    if word.endswith("ly"):
+        base = _lexicon_base(word[:-2])
+        if base is not None:
+            return _derived(base, "li")
+    for suf, ipa in (("ness", "nəs"), ("ment", "mənt"), ("ful", "fəl"),
+                     ("less", "ləs"), ("ship", "ˌʃɪp"), ("hood", "ˌhʊd")):
+        if word.endswith(suf):
+            base = _lexicon_base(word[: -len(suf)])
+            if base is not None:
+                return _derived(base, ipa)
+    for pre, ipa in (("un", "ən"), ("re", "ri"), ("dis", "dɪs"),
+                     ("pre", "pri"), ("non", "nɑn"), ("over", "ˌoʊvər"),
+                     ("out", "ˌaʊt"), ("mis", "mɪs")):
+        if word.startswith(pre) and len(word) - len(pre) >= 3:
+            rest = word[len(pre):]
+            if rest in _LEXICON:
+                return ipa + _LEXICON[rest]
     out = ""
     i = 0
     w = word
-    # silent final e lengthens the previous vowel (approximate)
-    if len(w) > 3 and w.endswith("e") and w[-2] not in "aeiou":
+    # silent final e lengthens the previous vowel (approximate); keep it
+    # after soft c/g so the dge/ce/ge rules can fire (bridge, office)
+    if (len(w) > 3 and w.endswith("e") and w[-2] not in "aeiou"
+            and not w.endswith(("dge", "ce", "ge"))):
         w = w[:-1]
     while i < len(w):
+        # context-sensitive cases the flat rule list cannot express
+        if w[i] == "c" and i + 1 < len(w) and w[i + 1] in "eiy":
+            out += "s"  # soft c (cell, city, cycle)
+            i += 1
+            continue
+        if w[i] == "y":
+            out += "j" if i == 0 else ("i" if i == len(w) - 1 else "ɪ")
+            i += 1
+            continue
         for pat, rep in _LTS_RULES:
             if w.startswith(pat, i):
                 out += rep
