@@ -96,7 +96,10 @@ def _bench_infer(model, params, b, tx, max_frames, sr, hop, n_iter=10):
     return true_sec / elapsed, padded_sec / elapsed, true_sec2 / elapsed2
 
 
-def _bench_train(hps, n_iter=10):
+def _bench_train(hps, n_iter=10, batch_size=32):
+    """Batch 32 is the measured single-chip throughput sweet spot
+    (README batch-scaling row: +19% audio-s/s and ~27% MFU over batch 16's
+    ~23%); the driver artifact reports the repo's real number."""
     from vits_tpu.models.avocodo import AvocodoDiscriminator
     from vits_tpu.models.synthesizer import SynthesizerTrn
     from vits_tpu.text.symbols import symbols
@@ -110,7 +113,7 @@ def _bench_train(hps, n_iter=10):
     disc = AvocodoDiscriminator(bf16=bf16)
     optim_g = make_optimizer(hps, steps_per_epoch=100)
     optim_d = make_optimizer(hps, steps_per_epoch=100)
-    b, tx, ty, hop = 16, 128, 400, hps.data.hop_length
+    b, tx, ty, hop = batch_size, 128, 400, hps.data.hop_length
     rng = np.random.default_rng(0)
     batch = {
         "x": jnp.asarray(rng.integers(1, len(symbols), (b, tx))),
@@ -223,6 +226,10 @@ def main():
     if not os.environ.get("VITS_BENCH_SKIP_TRAIN"):
         steps_per_sec, mfu, flops, hbm = _bench_train(hps)
         out["train_steps_per_sec"] = round(steps_per_sec, 3)
+        out["train_batch_size"] = 32
+        out["train_audio_sec_per_sec"] = round(
+            steps_per_sec * 32 * 400 * hop / sr, 1
+        )
         out["train_mfu"] = round(mfu, 4) if mfu is not None else None
         out["train_flops_per_step"] = flops
         out["train_hbm_bytes"] = hbm

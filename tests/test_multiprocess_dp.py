@@ -49,7 +49,7 @@ def test_two_process_dp_matches_single_process():
         )
         for r in range(nproc)
     ]
-    outs = [p.communicate(timeout=1500) for p in procs]
+    outs = [p.communicate(timeout=2400) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, (out[-2000:], err[-2000:])
 

@@ -71,6 +71,10 @@ class SynthesizerTrn(nn.Module):
     sampling_rate: int = 22050
     filter_length: int = 1024
     hop_length: int = 256
+    posterior_layers: int = 16  # WaveNet depth of both posterior encoders
+    # (reference hard-codes 16, SynthesizerTrn.py:122-136; exposed so tiny
+    # probe/test configs can compile a structurally identical but smaller
+    # program — XLA compile time scales with unrolled graph size)
     bf16: bool = False  # bfloat16 compute in the HBM/FLOP-heavy submodules
     # (posterior WaveNet stacks + HiFi-GAN decoder); flows, MAS, duration,
     # sampling and all loss-facing stats stay float32
@@ -101,7 +105,7 @@ class SynthesizerTrn(nn.Module):
             self.spec_channels,
             self.inter_channels - self.yin_channels,
             self.inter_channels - self.yin_channels,
-            5, 1, 16,
+            5, 1, self.posterior_layers,
             gin_channels=self.gin_channels,
             bf16=self.bf16,
         )
@@ -109,7 +113,7 @@ class SynthesizerTrn(nn.Module):
             self.yin_channels,
             self.yin_channels,
             self.yin_channels,
-            5, 1, 16,
+            5, 1, self.posterior_layers,
             gin_channels=self.gin_channels,
             bf16=self.bf16,
         )
@@ -148,10 +152,14 @@ class SynthesizerTrn(nn.Module):
             return self.emb_g(sid)[:, None, :]  # [B, 1, gin]
         return None
 
-    def _crop0(self, x, scope_shift: int = 0):
-        """Static scope crop (scalar shift; reference crop_scope :165-168)."""
-        s = self.yin_start + scope_shift
-        return x[..., s : s + self.yin_scope]
+    def _crop0(self, x, scope_shift=0):
+        """Scalar scope crop (reference crop_scope :165-168). scope_shift
+        may be a python int (static) or a traced int scalar — serving
+        passes it traced so the -15..15 slider reuses one compiled
+        program per (text, frame) bucket instead of recompiling."""
+        return jax.lax.dynamic_slice_in_dim(
+            x, self.yin_start + scope_shift, self.yin_scope, axis=-1
+        )
 
     def _yingram_of(self, o):
         """Yingram of generated audio with the reference's padding

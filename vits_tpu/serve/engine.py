@@ -87,9 +87,10 @@ class TTSEngine:
 
         model = self.model
 
-        @functools.partial(
-            jax.jit, static_argnames=("scope_shift", "max_frames")
-        )
+        # scope_shift is TRACED (dynamic-slice crop): the -15..15 UI
+        # slider reuses one compiled program per (text, frame) bucket
+        # instead of forcing up to ~120 distinct compiles
+        @functools.partial(jax.jit, static_argnames=("max_frames",))
         def _synth(params, x, t, x_lengths, sid, seed, duration, scope_shift,
                    max_frames):
             # key built IN-GRAPH: a host-side PRNGKey is its own tiny device
@@ -104,9 +105,7 @@ class TTSEngine:
 
         self._synth_fn = _synth
 
-        @functools.partial(
-            jax.jit, static_argnames=("scope_shift", "max_frames")
-        )
+        @functools.partial(jax.jit, static_argnames=("max_frames",))
         def _pre_decoder(params, x, t, x_lengths, sid, seed, duration,
                          scope_shift, max_frames):
             key = jax.random.PRNGKey(seed)
@@ -193,7 +192,7 @@ class TTSEngine:
         frames = next((b for b in buckets if b >= want), buckets[-1])
         while True:
             wav, y_mask, y_len = self._synth_fn(
-                *args, scope_shift=int(scope_shift), max_frames=frames
+                *args, scope_shift=jnp.int32(scope_shift), max_frames=frames
             )
             y_len = int(np.asarray(y_len)[0])
             if y_len < frames or frames == buckets[-1]:
@@ -267,7 +266,7 @@ class TTSEngine:
             frames = next((b for b in buckets if b >= want), buckets[-1])
             while True:
                 dec_inputs, y_mask, y_lengths, _ = self._pre_decoder_fn(
-                    *args, scope_shift=int(scope_shift), max_frames=frames
+                    *args, scope_shift=jnp.int32(scope_shift), max_frames=frames
                 )
                 total = int(np.asarray(y_lengths)[0])
                 if total < frames or frames == buckets[-1]:
