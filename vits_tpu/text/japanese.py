@@ -343,6 +343,15 @@ def _assemble_phrases(
             phrases.append((cur, cur_acc if cur_acc is not None else 0))
         cur, cur_acc = "", None
 
+    # auxiliaries that fuse with a preceding te-form into one accent phrase
+    # (待って + います -> まっています, openjtalk keeps these together)
+    _TE_AUX = (
+        "いる", "います", "いました", "いた", "いて", "いない", "いません",
+        "ある", "あります", "ありました", "おく", "おきます", "しまう",
+        "しまいます", "しまった", "みる", "みます", "ください", "くる",
+        "きます", "きた", "いく", "いきます",
+    )
+
     for kind, read, acc in tokens:
         if not read:
             continue
@@ -352,6 +361,9 @@ def _assemble_phrases(
             cur += read  # unknown compound continues the phrase
         elif kind == "kana" and cur and prev_kind not in ("", "attach"):
             cur += read  # okurigana / inflection tail
+        elif (kind == "word" and cur and cur.endswith(("て", "で"))
+              and read in _TE_AUX):
+            cur += read  # te-form + auxiliary verb: one accent phrase
         else:
             flush()
             cur, cur_acc = read, acc
