@@ -125,3 +125,4 @@ def test_ddsconv_shapes():
     out = m.apply(params, x, mask)
     assert out.shape == (2, 12, 8)
     assert np.isfinite(np.asarray(out)).all()
+
