@@ -122,3 +122,48 @@ def test_scope_shift_slider_no_retrace(engine):
         len(a) != len(outs[0]) or not np.array_equal(a, outs[0])
         for a in outs[1:]
     )
+
+
+def test_synthesize_batch_matches_composition_independent(engine):
+    """Per-row PRNG keys: a request's audio must not depend on what it was
+    batched with (the dynamic-batching determinism contract)."""
+    reqs = [
+        {"text": "[P]ni3#hao3[P]", "speaker_id": 0, "seed": 7},
+        {"text": "[P]shi4 jie4[P]", "speaker_id": 1, "seed": 9},
+        {"text": "[P]ni3#hao3%shi4[P]", "speaker_id": 1, "seed": 11},
+    ]
+    solo = engine.synthesize_batch([reqs[0]])[0]
+    together = engine.synthesize_batch(reqs)
+    assert len(together) == 3
+    for a in together:
+        assert a.ndim == 1 and len(a) > 0 and np.isfinite(a).all()
+    np.testing.assert_allclose(solo, together[0], atol=1e-4)
+    # distinct seeds/texts -> distinct audio
+    assert len(together[1]) != len(together[2]) or not np.array_equal(
+        together[1], together[2]
+    )
+
+
+def test_dynamic_batcher_end_to_end(engine):
+    from vits_tpu.serve.batcher import DynamicBatcher
+
+    b = DynamicBatcher(engine, max_batch=4, max_wait_ms=30.0)
+    try:
+        futs = [
+            b.submit("[P]ni3#hao3[P]", speaker_id=i % 2, seed=i)
+            for i in range(5)
+        ]
+        outs = [f.result(timeout=300) for f in futs]
+        for sr, audio in outs:
+            assert sr == engine.sampling_rate
+            assert len(audio) > 0 and np.isfinite(audio).all()
+        # same (text, speaker, seed) submitted again reproduces exactly
+        fut2 = b.submit("[P]ni3#hao3[P]", speaker_id=0, seed=0)
+        sr2, audio2 = fut2.result(timeout=300)
+        np.testing.assert_allclose(outs[0][1], audio2, atol=1e-4)
+    finally:
+        b.close()
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        b.submit("[P]ni3[P]")

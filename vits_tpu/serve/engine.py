@@ -6,8 +6,11 @@ scope-shift slider -15..15, duration multiplier 0.5-2).
 
 TPU-first: synthesis is a single jitted program per (text-bucket,
 frame-budget) pair; text is padded to a small set of bucket lengths so
-arbitrary inputs hit a warm compile cache. Scope shift is a static argument
-(distinct trace per value, cached).
+arbitrary inputs hit a warm compile cache. Scope shift and seed are traced
+arguments — sweeping them never recompiles. Batched serving
+(`synthesize_batch`, used by serve.batcher.DynamicBatcher) vmaps the
+single-request program with PER-ROW PRNG keys, so each request's audio is
+bit-independent of what it happened to be batched with.
 """
 
 from __future__ import annotations
@@ -125,6 +128,30 @@ class TTSEngine:
             )
         )
 
+        # batched synthesis: vmap of the single-request program with a
+        # PER-ROW key (PRNGKey(seed_i) folded in-graph) — request i's audio
+        # is identical whether it runs alone or inside any batch, which is
+        # the determinism contract dynamic batching needs
+        @functools.partial(jax.jit, static_argnames=("max_frames",))
+        def _synth_batch(params, x, t, x_lengths, sid, seeds, durations,
+                         scope_shifts, max_frames):
+            def one(x_r, t_r, xl_r, sid_r, seed_r, dur_r, shift_r):
+                key = jax.random.PRNGKey(seed_r)
+                wav, y_mask, y_len = model.apply(
+                    params, x_r[None], t_r[None], xl_r[None],
+                    sid=sid_r[None], rng=key,
+                    noise_scale=0.667, noise_scale_w=0.8,
+                    length_scale=dur_r, max_frames=max_frames,
+                    scope_shift=shift_r, method=SynthesizerTrn.infer,
+                )
+                return wav[0], y_len[0]
+
+            return jax.vmap(one)(
+                x, t, x_lengths, sid, seeds, durations, scope_shifts
+            )
+
+        self._synth_batch_fn = _synth_batch
+
     def get_phoneme(self, text: str):
         """Tagged text -> (ids, lang ids, IPA string) (reference app.py:48-58)."""
         cleaned_text, lang = clean_text(text)
@@ -224,6 +251,79 @@ class TTSEngine:
             np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
         )
         return phones, (self.sampling_rate, audio)
+
+    BATCH_BUCKETS = (1, 2, 4, 8)
+
+    def synthesize_batch(self, requests: list[dict]):
+        """Batched synthesis for dynamic-batching servers.
+
+        requests: list of dicts with keys text, and optionally speaker_id,
+        seed, scope_shift, duration. Returns a list of np.float32 waveforms
+        in request order. Requests are grouped by (text-bucket,
+        frame-bucket), padded up to BATCH_BUCKETS, and run through the
+        vmapped program; per-row PRNG keys make each result independent of
+        batch composition. Requests whose phoneme sequence exceeds the
+        largest text bucket fall back to the phrase-splitting single path.
+        """
+        results: list[np.ndarray | None] = [None] * len(requests)
+        groups: dict[tuple[int, int], list] = {}
+        for i, req in enumerate(requests):
+            seq, lang, _ = self.get_phoneme(req["text"])
+            if len(seq) > self.TEXT_BUCKETS[-1]:
+                _, (_, audio) = self.synthesize(
+                    req["text"], req.get("speaker_id", 0), req.get("seed", 0),
+                    req.get("scope_shift", 0), req.get("duration", 1.0),
+                )
+                results[i] = audio
+                continue
+            dur = float(req.get("duration", 1.0))
+            tx = self._bucket(len(seq))
+            want = int(len(seq) * 6 * max(dur, 0.25))
+            buckets = self._frame_buckets()
+            frames = next((b for b in buckets if b >= want), buckets[-1])
+            groups.setdefault((tx, frames), []).append((i, seq, lang, req))
+
+        for (tx, frames), items in groups.items():
+            n = len(items)
+            nb = next(b for b in self.BATCH_BUCKETS if b >= n) if (
+                n <= self.BATCH_BUCKETS[-1]
+            ) else n  # oversize flush: compile for the exact size
+            x = np.zeros((nb, tx), np.int32)
+            t = np.zeros((nb, tx), np.int32)
+            xl = np.ones(nb, np.int32)
+            sid = np.zeros(nb, np.int32)
+            seeds = np.zeros(nb, np.uint32)
+            durs = np.ones(nb, np.float32)
+            shifts = np.zeros(nb, np.int32)
+            for row, (i, seq, lang, req) in enumerate(items):
+                m = len(seq)
+                x[row, :m] = seq
+                t[row, :m] = lang
+                xl[row] = m
+                sid[row] = int(req.get("speaker_id", 0))
+                seeds[row] = int(req.get("seed", 0)) & 0xFFFFFFFF
+                durs[row] = float(req.get("duration", 1.0))
+                shifts[row] = int(req.get("scope_shift", 0))
+            wavs, y_lens = self._synth_batch_fn(
+                self.params, jnp.asarray(x), jnp.asarray(t), jnp.asarray(xl),
+                jnp.asarray(sid), jnp.asarray(seeds), jnp.asarray(durs),
+                jnp.asarray(shifts), max_frames=frames,
+            )
+            wavs = np.asarray(wavs)
+            y_lens = np.asarray(y_lens)
+            for row, (i, seq, lang, req) in enumerate(items):
+                n_smp = int(y_lens[row]) * self.hop
+                audio = wavs[row, :n_smp, 0]
+                if int(y_lens[row]) >= frames and frames < self._frame_buckets()[-1]:
+                    # frame budget saturated: redo this one via the
+                    # escalating single-request path
+                    _, (_, audio) = self.synthesize(
+                        req["text"], req.get("speaker_id", 0),
+                        req.get("seed", 0), req.get("scope_shift", 0),
+                        req.get("duration", 1.0),
+                    )
+                results[i] = audio
+        return results
 
     def synthesize_chunked(
         self,
