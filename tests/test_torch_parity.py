@@ -364,3 +364,75 @@ def test_full_inference_parity_zero_noise():
     )
     mel_l1 = np.abs(mel_ours - mel_ref).mean()
     assert mel_l1 < 1e-3, mel_l1
+
+
+def test_checkpoint_file_migration_end_to_end(tmp_path):
+    """The full user migration path: a reference-format Eval .pth file ->
+    convert_checkpoint_file CLI -> TTSEngine serves it. Architecture
+    hyperparameters are auto-detected from the state-dict keys."""
+    import types
+    import yaml
+
+    fake = types.ModuleType("monotonic_align")
+    fake.maximum_path = lambda *a, **k: None
+    sys.modules.setdefault("monotonic_align", fake)
+    import SynthesizerTrn as refST
+    from vits_tpu.utils.convert_torch import (
+        _detect_arch,
+        convert_checkpoint_file,
+    )
+
+    kwargs = dict(
+        num_chars=71, spec_channels=513, segment_size=2048,
+        midi_start=-5, midi_end=75, octave_range=24,
+        inter_channels=96, hidden_channels=64, filter_channels=96,
+        n_heads=2, n_layers=2, kernel_size=3, p_dropout=0.0,
+        resblock="1", resblock_kernel_sizes=[3],
+        resblock_dilation_sizes=[[1, 3, 5]],
+        upsample_rates=[8, 8, 2, 2], upsample_initial_channel=32,
+        upsample_kernel_sizes=[16, 16, 4, 4],
+        yin_channels=80, yin_start=15, yin_scope=50, yin_shift_range=15,
+        n_speakers=3, gin_channels=16,
+    )
+    tm = refST.SynthesizerTrn(**kwargs)
+    arch = _detect_arch(tm.state_dict())
+    assert arch == dict(
+        n_layers_text=2, n_ups=4, n_kernels=1, resblock_convs=3
+    ), arch
+    pth = tmp_path / "Model_Eval_4242.pth"
+    torch.save({"model_g": tm.state_dict()}, str(pth))
+
+    out = convert_checkpoint_file(str(pth), str(tmp_path / "converted"))
+    assert out.endswith("eval_4242")
+
+    cfg = {
+        "train": {"segment_size": 2048},
+        "data": {
+            "sampling_rate": 22050, "filter_length": 1024, "hop_length": 256,
+            "win_length": 1024, "n_mel_channels": 80, "mel_fmin": 0.0,
+            "mel_fmax": None, "add_blank": True, "speakers": ["A", "B", "C"],
+            "midi_start": -5, "midi_end": 75, "midis": 80,
+            "ying_window": 2048, "ying_hop": 256, "tau_max": 2048,
+            "octave_range": 24,
+        },
+        "model": {
+            "inter_channels": 96, "hidden_channels": 64,
+            "filter_channels": 96, "n_heads": 2, "n_layers": 2,
+            "kernel_size": 3, "p_dropout": 0.0, "resblock": "1",
+            "resblock_kernel_sizes": [3],
+            "resblock_dilation_sizes": [[1, 3, 5]],
+            "upsample_rates": [8, 8, 2, 2], "upsample_initial_channel": 32,
+            "upsample_kernel_sizes": [16, 16, 4, 4], "gin_channels": 16,
+            "yin_channels": 80, "yin_start": 15, "yin_scope": 50,
+            "yin_shift_range": 15,
+        },
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    from vits_tpu.serve.engine import TTSEngine
+
+    eng = TTSEngine(str(cfg_path), checkpoint_path=out, max_frames=96)
+    phones, (sr, audio) = eng.synthesize("[P]ni3#hao3[P]", 1, seed=3)
+    assert sr == 22050 and len(audio) > 0
+    assert np.isfinite(audio).all()

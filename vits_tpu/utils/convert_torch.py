@@ -241,3 +241,110 @@ def convert_discriminator(sd: dict) -> dict:
     combd = {f"block_{i}": _combd_block(sd, f"combd.blocks.{i}") for i in range(3)}
     sbd = {f"disc_{i}": _sbd_block(sd, f"sbd.discriminators.{i}") for i in range(4)}
     return {"params": {"combd": combd, "sbd": sbd}}
+
+
+# ---------------------------------------------------------------------------
+# File-level migration CLI: reference .pth -> Orbax checkpoint dirs.
+# ---------------------------------------------------------------------------
+
+def _detect_arch(sd: dict) -> dict:
+    """Read architecture hyperparameters off the state-dict key structure,
+    so conversion needs no hand-supplied flags."""
+    import re as _re
+
+    def _count(pattern):
+        idx = {
+            int(m.group(1))
+            for k in sd
+            for m in [_re.match(pattern, k)]
+            if m
+        }
+        return (max(idx) + 1) if idx else 0
+
+    n_layers_text = _count(r"text_encoder\.encoder\.attn_layers\.(\d+)\.")
+    n_ups = _count(r"waveform_decoder\.ups\.(\d+)\.")
+    n_resblocks = _count(r"waveform_decoder\.resblocks\.(\d+)\.")
+    resblock_convs = _count(r"waveform_decoder\.resblocks\.0\.convs1\.(\d+)\.")
+    return dict(
+        n_layers_text=n_layers_text,
+        n_ups=n_ups,
+        n_kernels=n_resblocks // max(n_ups, 1),
+        resblock_convs=resblock_convs,
+    )
+
+
+def convert_checkpoint_file(
+    eval_pth: str,
+    out_dir: str,
+    step: int | None = None,
+    train_pth: str | None = None,
+) -> str:
+    """Convert a reference `{name}_Eval_{step}.pth` into an Orbax
+    `eval_{step}` directory that TTSEngine / load_eval_params load
+    directly. With train_pth, additionally converts the discriminator from
+    `{name}_Train_{step}.pth` into `disc_{step}` (raw params tree, for
+    GAN fine-tuning via checkpoint.merge_compatible; reference optimizer
+    moments are torch-AdamW-specific and are not carried over).
+
+    Returns the eval checkpoint path. Reference format:
+    /root/reference/utils.py:91-116 ({'model_g': ...} / {'model_d': ...}).
+    """
+    import os as _os
+
+    import torch
+    import orbax.checkpoint as ocp
+
+    payload = torch.load(eval_pth, map_location="cpu", weights_only=True)
+    sd = payload.get("model_g", payload.get("model", payload))
+    arch = _detect_arch(sd)
+    converted = convert_synthesizer(
+        sd,
+        n_layers_text=arch["n_layers_text"],
+        n_kernels=arch["n_kernels"],
+        resblock_convs=arch["resblock_convs"],
+        n_ups=arch["n_ups"],
+    )
+    if step is None:
+        import re as _re
+
+        digits = _re.findall(r"(\d+)", _os.path.basename(eval_pth))
+        step = int(digits[-1]) if digits else 0
+
+    ckptr = ocp.StandardCheckpointer()
+    eval_path = _os.path.join(_os.path.abspath(out_dir), f"eval_{step}")
+    ckptr.save(eval_path, {"g_params": converted["params"]})
+    if train_pth is not None:
+        tpayload = torch.load(train_pth, map_location="cpu", weights_only=True)
+        dsd = tpayload.get("model_d", tpayload)
+        dconv = convert_discriminator(dsd)
+        ckptr.save(
+            _os.path.join(_os.path.abspath(out_dir), f"disc_{step}"),
+            {"d_params": dconv["params"]},
+        )
+    ckptr.wait_until_finished()
+    return eval_path
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Convert a reference (torch) VITS checkpoint into this "
+        "repo's Orbax format. Usage: python -m vits_tpu.utils.convert_torch "
+        "Model_Eval_10000.pth --out-dir exp/converted"
+    )
+    ap.add_argument("eval_pth", help="reference {name}_Eval_{step}.pth")
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--train-pth", default=None,
+                    help="optional {name}_Train_{step}.pth (discriminator)")
+    ap.add_argument("--step", type=int, default=None,
+                    help="step id for the output dir (default: from filename)")
+    args = ap.parse_args()
+    path = convert_checkpoint_file(
+        args.eval_pth, args.out_dir, step=args.step, train_pth=args.train_pth
+    )
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
