@@ -412,3 +412,21 @@ def test_en_affix_allomorphs():
     assert wf("walked").endswith("kt")    # voiceless -> /t/
     assert wf("played").endswith("eɪd")   # voiced -> /d/
     assert wf("wanted").endswith("tɪd")   # t/d -> /ɪd/
+
+
+def test_ja_kanji_numerals():
+    """Kanji numerals parse as numbers (multipliers, groupers, digit runs)
+    and combine with counters (VERDICT item #2 follow-through)."""
+    from vits_tpu.text.japanese import (
+        _parse_kanji_number,
+        japanese_to_romaji_with_accent as jro,
+    )
+
+    assert _parse_kanji_number("二千二十四年", 0) == (2024, 5)
+    assert _parse_kanji_number("三百", 0) == (300, 2)
+    assert _parse_kanji_number("一九八四", 0) == (1984, 4)
+    assert _parse_kanji_number("五万三千", 0) == (53000, 4)
+    assert _parse_kanji_number("万歳", 0) == (None, 0)  # bare group char
+    assert jro("二千二十四年") == "ni↑seNnijuuyoNneN"
+    assert jro("三百人が来ました") == "sa↑NbyakuniNga ki↑ma↓ʃita"
+    assert jro("五万円") == "go↑maNeN"

@@ -179,6 +179,45 @@ def _number_to_kana(digits: str) -> str:
     return out
 
 
+_KANJI_DIGITS = {"〇": 0, "零": 0, "一": 1, "二": 2, "三": 3, "四": 4,
+                 "五": 5, "六": 6, "七": 7, "八": 8, "九": 9}
+_KANJI_MULT = {"十": 10, "百": 100, "千": 1000}
+_KANJI_GROUP = {"万": 10**4, "億": 10**8}
+
+
+def _parse_kanji_number(s: str, i: int) -> tuple[int | None, int]:
+    """Parse a kanji numeral starting at s[i] (二千二十四, 三百, 一九八四).
+
+    Returns (value, end_index) or (None, i). Bare multipliers (十, 百, 千)
+    count with an implicit 1; a group char (万/億) needs preceding digits.
+    """
+    total = 0
+    section = 0
+    num = 0
+    j = i
+    seen = False
+    while j < len(s):
+        ch = s[j]
+        if ch in _KANJI_DIGITS:
+            num = num * 10 + _KANJI_DIGITS[ch]
+            seen = True
+        elif ch in _KANJI_MULT:
+            section += (num if num else 1) * _KANJI_MULT[ch]
+            num = 0
+            seen = True
+        elif ch in _KANJI_GROUP:
+            if not seen:
+                break
+            total += (section + num if (section + num) else 1) * _KANJI_GROUP[ch]
+            section = num = 0
+        else:
+            break
+        j += 1
+    if not seen:
+        return None, i
+    return total + section + num, j
+
+
 # counters after an ASCII-digit run: base readings + the common euphonic
 # changes (いち+ほん -> いっぽん etc.) and irregulars (4人 よにん, 1人 ひとり)
 _COUNTERS = {
@@ -295,6 +334,14 @@ def _segment(chunk: str) -> list[tuple[str, str, int | None]]:
                 relax(j + 1, 1.0, ("num", _counter_reading(digits, chunk[j]), None))
             relax(j, 1.2, ("num", _number_to_kana(digits), None))
         elif _is_kanji(ch):
+            val, j = _parse_kanji_number(chunk, i)
+            if val is not None and j > i:
+                digits = str(val)
+                if (j < n and chunk[j] in _COUNTERS
+                        and chunk[i:j + 1] not in _WORDS):
+                    relax(j + 1, 1.0,
+                          ("num", _counter_reading(digits, chunk[j]), None))
+                relax(j, 1.2, ("num", _number_to_kana(digits), None))
             if ch in _CHAR_READINGS:
                 relax(i + 1, 1.8, ("kanji", _CHAR_READINGS[ch], None))
             else:
