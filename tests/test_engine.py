@@ -167,3 +167,31 @@ def test_dynamic_batcher_end_to_end(engine):
 
     with _pytest.raises(RuntimeError):
         b.submit("[P]ni3[P]")
+
+
+def test_batch_bad_request_isolated(engine):
+    """An invalid request fails alone; its batchmates still synthesize."""
+    from vits_tpu.serve.batcher import DynamicBatcher
+
+    reqs = [
+        {"text": "[P]ni3#hao3[P]", "seed": 1},
+        {"text": "no language tags here", "seed": 2},
+        {"text": "[P]shi4 jie4[P]", "seed": 3},
+    ]
+    outs = engine.synthesize_batch(reqs)
+    assert isinstance(outs[1], ValueError)
+    assert len(outs[0]) > 0 and len(outs[2]) > 0
+
+    b = DynamicBatcher(engine, max_batch=4, max_wait_ms=30.0)
+    try:
+        futs = [b.submit(r["text"], seed=r["seed"]) for r in reqs]
+        sr, good = futs[0].result(timeout=300)
+        assert len(good) > 0
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            futs[1].result(timeout=300)
+        sr2, good2 = futs[2].result(timeout=300)
+        assert len(good2) > 0
+    finally:
+        b.close()

@@ -84,8 +84,11 @@ class DynamicBatcher:
             try:
                 audios = self.engine.synthesize_batch(reqs)
                 for (_, fut), audio in zip(batch, audios):
-                    fut.set_result((self.engine.sampling_rate, audio))
-            except Exception as e:  # pragma: no cover - propagate per-request
+                    if isinstance(audio, Exception):
+                        fut.set_exception(audio)  # that request alone failed
+                    else:
+                        fut.set_result((self.engine.sampling_rate, audio))
+            except Exception as e:  # pragma: no cover - whole-batch failure
                 for _, fut in batch:
                     if not fut.done():
                         fut.set_exception(e)

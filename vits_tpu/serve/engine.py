@@ -258,17 +258,24 @@ class TTSEngine:
         """Batched synthesis for dynamic-batching servers.
 
         requests: list of dicts with keys text, and optionally speaker_id,
-        seed, scope_shift, duration. Returns a list of np.float32 waveforms
-        in request order. Requests are grouped by (text-bucket,
+        seed, scope_shift, duration. Returns a list in request order whose
+        entries are np.float32 waveforms, or the per-request Exception for
+        entries that failed (a bad request never poisons its batchmates). Requests are grouped by (text-bucket,
         frame-bucket), padded up to BATCH_BUCKETS, and run through the
         vmapped program; per-row PRNG keys make each result independent of
         batch composition. Requests whose phoneme sequence exceeds the
         largest text bucket fall back to the phrase-splitting single path.
         """
-        results: list[np.ndarray | None] = [None] * len(requests)
+        results: list[np.ndarray | Exception | None] = [None] * len(requests)
         groups: dict[tuple[int, int], list] = {}
         for i, req in enumerate(requests):
-            seq, lang, _ = self.get_phoneme(req["text"])
+            try:
+                seq, lang, _ = self.get_phoneme(req["text"])
+            except Exception as e:
+                # a bad request (e.g. untagged text) must not poison its
+                # batchmates: it yields its exception in the result slot
+                results[i] = e
+                continue
             if len(seq) > self.TEXT_BUCKETS[-1]:
                 _, (_, audio) = self.synthesize(
                     req["text"], req.get("speaker_id", 0), req.get("seed", 0),
