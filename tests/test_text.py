@@ -430,3 +430,12 @@ def test_ja_kanji_numerals():
     assert jro("二千二十四年") == "ni↑seNnijuuyoNneN"
     assert jro("三百人が来ました") == "sa↑NbyakuniNga ki↑ma↓ʃita"
     assert jro("五万円") == "go↑maNeN"
+
+
+def test_ja_i_adjective_inflections():
+    """Derived i-adjective paradigm (kanji_dict base -> かった/くない/くて/く)."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    assert jro("昨日は寒かった") == "ki↑no↓owa sa↑mu↓kaQta"
+    assert jro("高くないです") == "ta↑ka↓kunaidesu"
+    assert jro("早く来てください") == "ha↑ya↓ku ki↓tekudasai"

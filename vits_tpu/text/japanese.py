@@ -113,7 +113,26 @@ _KANA_EXCEPTIONS = {
 
 # reading -> Tokyo accent nucleus, derived from the word lexicon; used for
 # kana-only input that matches no surface entry (e.g. せんせい typed in kana)
-from vits_tpu.text.kanji_dict import WORDS as _WORDS, CHARS as _CHAR_READINGS
+from vits_tpu.text.kanji_dict import WORDS as _BASE_WORDS, CHARS as _CHAR_READINGS
+
+# derive i-adjective inflections from base entries (高い -> 高かった,
+# 高くない, 高くて, 高く, 高ければ): surface and reading both end in い and
+# the stem stays put, so the paradigm is purely suffixal. The nucleus for
+# inflected forms falls on the mora before the suffix for accented
+# adjectives (高い[2] -> 高かった たか↓かった) and stays heiban for [0].
+_I_ADJ_SUFFIXES = ("かった", "くない", "くなかった", "くて", "く", "ければ")
+_WORDS: dict[str, tuple[str, int | None]] = dict(_BASE_WORDS)
+for _surf, (_read, _acc) in _BASE_WORDS.items():
+    if (len(_surf) >= 2 and _surf.endswith("い") and _read.endswith("い")
+            and len(_read) >= 2):
+        for _sfx in _I_ADJ_SUFFIXES:
+            _key = _surf[:-1] + _sfx
+            if _key in _BASE_WORDS:
+                continue  # hand-written entry wins
+            _a = None if _acc is None else (
+                0 if _acc == 0 else len(_read) - 1
+            )
+            _WORDS[_key] = (_read[:-1] + _sfx, _a)
 
 _READING_ACCENT: dict[str, int] = {}
 for _surf, (_read, _acc) in _WORDS.items():
