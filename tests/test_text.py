@@ -250,7 +250,7 @@ def test_ja_kanji_fallback_goldens():
     assert jro("東京へ行きます") == "to↑okyooe i↑kima↓su"
     assert jro("水を飲む") == "mi↑zuo no↓mu"
     # digits + counters: 3人 -> さんにん, 5時 -> ごじ; verb stem 会い rejoins
-    assert jro("3人で5時に会いましょう") == "sa↑NniNde go↑jini a↑imaʃoo"
+    assert jro("3人で5時に会いましょう") == "sa↑NniNde go↑jini a↑imaʃo↓o"
     # date counters: 1日 -> ついたち, 1月 -> いちがつ (irregular readings)
     assert jro("1月1日") == "i↑ʧigatsu tsu↑itaʧi"
 
@@ -439,3 +439,13 @@ def test_ja_i_adjective_inflections():
     assert jro("昨日は寒かった") == "ki↑no↓owa sa↑mu↓kaQta"
     assert jro("高くないです") == "ta↑ka↓kunaidesu"
     assert jro("早く来てください") == "ha↑ya↓ku ki↓tekudasai"
+
+
+def test_ja_polite_verb_paradigm():
+    """Derived ません/ました/ましょう forms with correct accent placement."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    assert jro("明日行きません") == "a↑ʃita i↑kimase↓N"
+    assert jro("昨日食べました") == "ki↑no↓o ta↑bema↓ʃita"
+    # dictionary-form verbs derive their polite stem (歌う -> 歌いましょう)
+    assert jro("一緒に歌いましょう") == "i↑Qʃoni u↑taimaʃo↓o"

@@ -134,6 +134,44 @@ for _surf, (_read, _acc) in _BASE_WORDS.items():
             )
             _WORDS[_key] = (_read[:-1] + _sfx, _a)
 
+# derive the polite-verb paradigm. Two sources:
+#   * existing ます entries (会います -> 会いません/会いました/会いましょう)
+#   * dictionary-form verbs (歌う -> 歌います...): godan final u-row kana
+#     maps to the i-row stem (う->い, く->き, ...); ichidan (reading ends
+#     in i/e-row + る) drops る. Irregular verbs (帰る etc.) have
+#     hand-written entries, which always win.
+# Accent (Tokyo): ます on ま, ません on せ, ました on ま, ましょう on しょ —
+# moras-2 / moras-1 / moras-2 / moras-1 counted on the derived reading.
+_GODAN_STEM = {"う": "い", "く": "き", "ぐ": "ぎ", "す": "し", "つ": "ち",
+               "ぬ": "に", "ぶ": "び", "む": "み", "る": "り"}
+_IE_ROW = set("いきしちにひみりぎじびぴえけせてねへめれげぜべぺ")
+_POLITE = (("ます", 2), ("ません", 1), ("ました", 2), ("ましょう", 1))
+
+
+def _polite_add(surf_stem: str, read_stem: str) -> None:
+    for _sfx, _back in _POLITE:
+        _key = surf_stem + _sfx
+        if _key in _WORDS:
+            continue  # hand-written entry wins
+        _r = read_stem + _sfx
+        _moras = len(_r) - _r.count("ょ")  # ょ merges with preceding kana
+        _WORDS[_key] = (_r, _moras - _back)
+
+
+for _surf, (_read, _acc) in list(_WORDS.items()):
+    if _surf.endswith("ます") and _read.endswith("ます"):
+        _polite_add(_surf[:-2], _read[:-2])
+    elif (len(_surf) >= 2 and len(_read) >= 2
+          and _surf[-1] in _GODAN_STEM and _read[-1] == _surf[-1]
+          and not _surf.endswith("ない")):
+        if _surf[-1] == "る" and _read[-2] in _IE_ROW:
+            _polite_add(_surf[:-1], _read[:-1])  # ichidan: drop る
+        else:
+            _polite_add(
+                _surf[:-1] + _GODAN_STEM[_surf[-1]],
+                _read[:-1] + _GODAN_STEM[_read[-1]],
+            )
+
 _READING_ACCENT: dict[str, int] = {}
 for _surf, (_read, _acc) in _WORDS.items():
     if _acc is not None:
@@ -323,8 +361,17 @@ def _segment(chunk: str) -> list[tuple[str, str, int | None]]:
         for ln in range(min(_MAX_SURFACE, n - i), 0, -1):
             s = chunk[i : i + ln]
             if s in _WORDS:
-                read, acc = _WORDS[s]
-                relax(i + ln, 1.0 - 0.01 * ln, ("word", read, acc))
+                # a pure-kana word may not start right after a bare
+                # unknown-kanji token: that kana is the kanji's okurigana
+                # (歌いましょう must parse 歌+い+ましょう, not 歌|いましょう)
+                prev = back[i]
+                kana_after_kanji = (
+                    all(_is_kana(c) for c in s)
+                    and prev is not None and prev[1][0] == "kanji"
+                )
+                if not kana_after_kanji:
+                    read, acc = _WORDS[s]
+                    relax(i + ln, 1.0 - 0.01 * ln, ("word", read, acc))
             elif ln >= 3 and s in _READING_ACCENT:
                 # kana spelling of a lexicon word (がっこう for 学校):
                 # slightly dearer than a surface match, far cheaper than
