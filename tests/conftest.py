@@ -9,9 +9,15 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU aborts the process (SIGABRT, rc=134) when a collective rendezvous
+# takes >40 s — on this 1-core host, 8 device threads time-slicing a busy
+# core legitimately exceed that (observed killing test_2d_mesh_matches_1d
+# mid-suite with the exact round-2 driver failure signature). Tests should
+# wait, not die.
+if "collective_call_terminate_timeout" not in flags:
+    flags += " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+os.environ["XLA_FLAGS"] = flags
 
 # The env var alone is not enough on hosts where a TPU PJRT plugin
 # force-registers itself (observed with the 'axon' platform); the config
