@@ -195,3 +195,18 @@ def test_batch_bad_request_isolated(engine):
         assert len(good2) > 0
     finally:
         b.close()
+
+
+def test_streaming_matches_chunked(engine):
+    """synthesize_streaming yields incrementally; concatenation is
+    bit-identical to synthesize_chunked."""
+    text = "[P]ni3#hao3 ni3#hao3[P]"
+    _, (sr, full) = engine.synthesize_chunked(
+        text, 1, seed=5, chunk_frames=16, overlap_frames=16
+    )
+    phones, stream = engine.synthesize_streaming(
+        text, 1, seed=5, chunk_frames=16, overlap_frames=16
+    )
+    chunks = list(stream)
+    assert len(chunks) >= 2  # actually incremental
+    np.testing.assert_array_equal(np.concatenate(chunks), full)

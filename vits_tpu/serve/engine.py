@@ -351,12 +351,61 @@ class TTSEngine:
         (`infer_decode_chunk`, reference :438-443). Chunks share one compiled
         program, so memory stays O(chunk) regardless of text length.
         """
+        phones, chunks = self._chunk_stream(
+            text, speaker_id, seed, scope_shift, duration,
+            chunk_frames, overlap_frames,
+        )
+        audio_pieces = list(chunks)
+        audio = (
+            np.concatenate(audio_pieces)
+            if audio_pieces
+            else np.zeros(0, np.float32)
+        )
+        return phones, (self.sampling_rate, audio)
+
+    def synthesize_streaming(
+        self,
+        text: str,
+        speaker_id: int = 0,
+        seed: int = 0,
+        scope_shift: int = 0,
+        duration: float = 1.0,
+        chunk_frames: int = 128,
+        overlap_frames: int = 16,
+    ):
+        """Streaming synthesis: returns (ipa_string, chunk_iterator).
+
+        The iterator yields np.float32 audio chunks (chunk_frames*hop
+        samples each, except the last) as they come off the device; the
+        first chunk arrives after one text-encode + one chunk decode
+        instead of the full utterance — the time-to-first-audio win the
+        staged reference API (`infer_pre_lr`/`infer_lr`/..., reference
+        SynthesizerTrn.py:375-443) exists for. Concatenating all chunks is
+        bit-identical to synthesize_chunked."""
+        return self._chunk_stream(
+            text, speaker_id, seed, scope_shift, duration,
+            chunk_frames, overlap_frames,
+        )
+
+    def _chunk_stream(
+        self, text, speaker_id, seed, scope_shift, duration,
+        chunk_frames, overlap_frames,
+    ):
         seq_all, lang_all, phones = self.get_phoneme(text)
+        segments = self._split_segments(
+            seq_all, lang_all, self.TEXT_BUCKETS[-1]
+        )
+        return phones, self._chunk_iter(
+            segments, speaker_id, seed, scope_shift, duration,
+            chunk_frames, overlap_frames,
+        )
+
+    def _chunk_iter(
+        self, segments, speaker_id, seed, scope_shift, duration,
+        chunk_frames, overlap_frames,
+    ):
         sid_arr = jnp.asarray([speaker_id])
-        audio_pieces: list[np.ndarray] = []
-        for seg_i, (seq, lang) in enumerate(
-            self._split_segments(seq_all, lang_all, self.TEXT_BUCKETS[-1])
-        ):
+        for seg_i, (seq, lang) in enumerate(segments):
             n = len(seq)
             tx = self._bucket(n)
             x = np.zeros((1, tx), np.int32)
@@ -381,9 +430,8 @@ class TTSEngine:
                 frames = next(b for b in buckets if b > frames)
             dec_inputs = np.asarray(dec_inputs)[0]  # [T, C]
 
-            # dispatch every window first (async), fetch afterwards — the
-            # decodes pipeline on device instead of paying a host round
-            # trip per chunk
+            # dispatch ahead (async), fetch behind — decodes pipeline on
+            # device while earlier chunks stream to the caller
             pending = []
             pos = 0
             while pos < total:
@@ -403,13 +451,7 @@ class TTSEngine:
                 ))
                 pos += chunk_frames
             for wav_chunk, start, end in pending:
-                audio_pieces.append(np.asarray(wav_chunk)[0, start:end, 0])
-        audio = (
-            np.concatenate(audio_pieces)
-            if audio_pieces
-            else np.zeros(0, np.float32)
-        )
-        return phones, (self.sampling_rate, audio)
+                yield np.asarray(wav_chunk)[0, start:end, 0]
 
     # audio-length buckets for the jitted VC program (samples; multiples of
     # hop so the yingram pad arithmetic stays static) — ~1.5 s to ~24 s
