@@ -449,3 +449,30 @@ def test_ja_polite_verb_paradigm():
     assert jro("昨日食べました") == "ki↑no↓o ta↑bema↓ʃita"
     # dictionary-form verbs derive their polite stem (歌う -> 歌いましょう)
     assert jro("一緒に歌いましょう") == "i↑Qʃoni u↑taimaʃo↓o"
+
+
+def test_vendored_dicts_no_conflicting_duplicates():
+    """A repeated key with a DIFFERENT value in the vendored lexicons would
+    silently shadow the earlier entry — catch it at test time."""
+    import ast
+
+    for path, merged in (
+        ("vits_tpu/text/en_dict.py", True),   # WORDS + .update() sections
+        ("vits_tpu/text/kanji_dict.py", False),  # WORDS and CHARS separate
+    ):
+        tree = ast.parse(open(path).read())
+        namespaces: dict[str, dict] = {}
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Dict):
+                continue
+            ns = namespaces.setdefault("all" if merged else id(node), {})
+            for k, v in zip(node.keys, node.values):
+                if not isinstance(k, ast.Constant):
+                    continue
+                try:
+                    val = ast.literal_eval(v)
+                except ValueError:
+                    continue
+                if k.value in ns:
+                    assert ns[k.value] == val, (path, k.value, ns[k.value], val)
+                ns[k.value] = val
