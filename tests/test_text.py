@@ -476,3 +476,15 @@ def test_vendored_dicts_no_conflicting_duplicates():
                 if k.value in ns:
                     assert ns[k.value] == val, (path, k.value, ns[k.value], val)
                 ns[k.value] = val
+
+
+def test_en_acronym_spellout():
+    """ALL-CAPS acronyms read as letter names; pronounceable initialisms
+    and lexicon words in caps read as words."""
+    assert english_to_ipa("the TTS system") == "ðə ti ti ɛs ˈsɪstəm"
+    assert english_to_ipa("the USA") == "ðə ju ɛs eɪ"
+    out = english_to_ipa("NASA launched it")
+    assert out.startswith("næs")  # pronounceable: reads as a word
+    for t in ("a GPU", "my PIN", "an ID"):
+        out = english_to_ipa(t)
+        assert all(c in symbols for c in out), out

@@ -295,10 +295,49 @@ def _oov_to_ipa(text: str) -> str:
     return text
 
 
+# letter-name words for acronym spell-out; their IPA lives in the lexicon
+_LETTER_WORDS = {
+    "a": "ay", "b": "bee", "c": "cee", "d": "dee", "e": "ee", "f": "ef",
+    "g": "gee", "h": "aitch", "i": "eye", "j": "jay", "k": "kay",
+    "l": "el", "m": "em", "n": "en", "o": "oh", "p": "pee", "q": "cue",
+    "r": "ar", "s": "ess", "t": "tee", "u": "yu", "v": "vee",
+    "w": "doubleyu", "x": "ex", "y": "why", "z": "zee",
+}
+_LETTER_NAME_IPA = {
+    "ay": "eɪ", "bee": "bi", "cee": "si", "dee": "di", "ee": "i",
+    "ef": "ɛf", "gee": "ʤi", "aitch": "eɪʧ", "eye": "aɪ", "jay": "ʤeɪ",
+    "kay": "keɪ", "el": "ɛl", "em": "ɛm", "en": "ɛn", "oh": "oʊ",
+    "pee": "pi", "cue": "kju", "ar": "ɑr", "ess": "ɛs", "tee": "ti",
+    "yu": "ju", "vee": "vi", "doubleyu": "ˈdəbəlju", "ex": "ɛks",
+    "why": "waɪ", "zee": "zi",
+}
+_LEXICON.update(_LETTER_NAME_IPA)
+
+
+def _spell_acronyms(text: str) -> str:
+    """ALL-CAPS tokens read as letter names: TTS -> tee tee ess. Runs
+    before lowercasing — case is the only signal. Short caps words and
+    vowel-less caps spell out; longer pronounceable initialisms (NASA)
+    read as words; ordinary lexicon words typed in caps stay words."""
+
+    def repl(m):
+        word = m.group(0)
+        lower = word.lower()
+        if lower in _LEXICON and len(word) > 2:
+            return lower
+        if len(word) <= 3 or not any(c in "aeiou" for c in lower):
+            return " ".join(_LETTER_WORDS[c] for c in lower if c in _LETTER_WORDS)
+        return lower
+
+    return re.sub(r"\b[A-Z]{2,}\b", repl, text)
+
+
 def english_to_ipa(text: str) -> str:
     """Main entry (reference english.py:69-85)."""
     text = text.replace("-", " ")
-    text = _strip_accents(text).lower()
+    text = _strip_accents(text)
+    text = _spell_acronyms(text)
+    text = text.lower()
     text = expand_abbreviations(text)
     text = normalize_numbers_en(text)
     phonemes = _text_to_ipa_backend(text)
