@@ -176,6 +176,12 @@ def _lexicon_base(stem: str) -> str | None:
 
 
 def _word_to_ipa_fallback(word: str) -> str:
+    ipa = _lexicon_lookup(word)
+    return ipa if ipa is not None else _letter_to_sound(word)
+
+
+def _lexicon_lookup(word: str) -> str | None:
+    """Resolve via the vendored lexicon or its affix layer; None on miss."""
     if word in _LEXICON:
         return _LEXICON[word]
     # ---- affix layer: derive regular inflections from lexicon bases ----
@@ -230,6 +236,11 @@ def _word_to_ipa_fallback(word: str) -> str:
             rest = word[len(pre):]
             if rest in _LEXICON:
                 return ipa + _LEXICON[rest]
+    return None
+
+
+def _letter_to_sound(word: str) -> str:
+    """Rule-of-thumb grapheme-to-phoneme; last resort for OOV words."""
     out = ""
     i = 0
     w = word
