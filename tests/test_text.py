@@ -451,6 +451,23 @@ def test_ja_polite_verb_paradigm():
     assert jro("一緒に歌いましょう") == "i↑Qʃoni u↑taimaʃo↓o"
 
 
+def test_ja_plain_verb_forms():
+    """Round-3 derivations: te/ta/ない/ず/potential/たい/すぎる forms and
+    suffix-中 compounds derived from dictionary-form verb entries."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    assert jro("写真を撮って") == "ʃa↑ʃiNo to↓Qte"          # godan って
+    assert jro("荷物を運んでください") == "ni↓motsuo ha↑koNdekudasai"  # んで
+    assert jro("お酒を飲まない") == "o↑sakeo no↑ma↓nai"       # negative
+    assert jro("この本は読める") == "ko↑no ho↓Nwa yo↑me↓ru"   # potential
+    assert jro("英語が話せます") == "e↑egoga ha↑nase↓masu"    # potential+polite
+    assert jro("朝ご飯を食べずに") == "a↑sago↓haNo ta↑be↓zuni"  # ず conjunctive
+    assert jro("値段が高すぎます") == "ne↑daNga ta↑kasugi↓masu"  # adj+すぎる
+    assert jro("世界中を旅したい") == "se↑ka↓ijuuo ta↑bi ʃi↑tai"  # 中=じゅう
+    assert (jro("お金を払わなければならない")
+            == "o↑kaneo ha↑rawa↓nakereba na↑ra↓nai")          # なければ
+
+
 def test_vendored_dicts_no_conflicting_duplicates():
     """A repeated key with a DIFFERENT value in the vendored lexicons would
     silently shadow the earlier entry — catch it at test time."""

@@ -133,6 +133,12 @@ for _surf, (_read, _acc) in _BASE_WORDS.items():
                 0 if _acc == 0 else len(_read) - 1
             )
             _WORDS[_key] = (_read[:-1] + _sfx, _a)
+        # excessive 〜すぎる (高い -> 高すぎる, nucleus on ぎ: たかすぎ↓る);
+        # an ichidan verb, so the polite pass below derives 〜すぎます etc.
+        _key = _surf[:-1] + "すぎる"
+        if _key not in _BASE_WORDS:
+            _r = _read[:-1] + "すぎる"
+            _WORDS[_key] = (_r, len(_r) - 1)
 
 # derive the polite-verb paradigm. Two sources:
 #   * existing ます entries (会います -> 会いません/会いました/会いましょう)
@@ -172,6 +178,90 @@ for _surf, (_read, _acc) in list(_WORDS.items()):
                 _read[:-1] + _GODAN_STEM[_read[-1]],
             )
 
+# derive plain-form inflections from dictionary-form verbs: te-form
+# (願う -> 願って), plain past (願った), negative (願わない), desiderative
+# (願いたい + its adjective paradigm) and the bare masu-stem (願い) so that
+# segmentation reads inflected verbs instead of falling back to per-kanji
+# on'yomi. Gemination/sound-change follows the standard godan table
+# (う/つ/る -> って, む/ぶ/ぬ -> んで, く -> いて, ぐ -> いで, す -> して);
+# ichidan drops る. Irregulars (行って, 来て, して...) are hand-written in
+# kanji_dict and always win. Accent: heiban verbs stay heiban; accented
+# verbs keep their nucleus for て/た (待つ[1] -> 待って[1]), move to the
+# mora before ない (書く[1] -> 書かな↓い is かか↓ない), and to た for たい.
+_GODAN_TE = {"う": "って", "つ": "って", "る": "って", "む": "んで",
+             "ぶ": "んで", "ぬ": "んで", "く": "いて", "ぐ": "いで",
+             "す": "して"}
+_GODAN_NAI = {"う": "わ", "く": "か", "ぐ": "が", "す": "さ", "つ": "た",
+              "ぬ": "な", "ぶ": "ば", "む": "ま", "る": "ら"}
+_GODAN_POT = {"う": "え", "く": "け", "ぐ": "げ", "す": "せ", "つ": "て",
+              "ぬ": "ね", "ぶ": "べ", "む": "め", "る": "れ"}
+
+
+def _moras_len(read: str) -> int:
+    return len(read) - sum(read.count(c) for c in "ゃゅょ")
+
+
+def _plain_add(key: str, read: str, acc: int | None) -> None:
+    if key not in _WORDS:
+        _WORDS[key] = (read, acc)
+
+
+def _verb_forms_add(surf_stem, read_stem, te, nai_row, acc):
+    # te / ta
+    for _sfx in (te, te[:-1] + ("だ" if te[-1] == "で" else "た")):
+        _r = read_stem + _sfx
+        _a = acc if acc in (None, 0) else min(acc, _moras_len(_r) - 1)
+        _plain_add(surf_stem + _sfx, _r, _a)
+    # negative 〜ない (+ past/conditional/conjunctive negatives)
+    if nai_row is not None:
+        for _sfx, _back in (("ない", 2), ("なかった", 4), ("なければ", 4),
+                            ("ないで", 3), ("ず", 1), ("ずに", 2)):
+            _r = read_stem + nai_row + _sfx
+            _a = acc if acc in (None, 0) else _moras_len(_r) - _back
+            _plain_add(surf_stem + nai_row + _sfx, _r, _a)
+
+
+def _tai_forms_add(surf_istem, read_istem, acc):
+    for _sfx, _back in (("たい", 2), ("たくない", 2), ("たかった", 4),
+                        ("たくて", 3)):
+        _r = read_istem + _sfx
+        _a = acc if acc in (None, 0) else _moras_len(_r) - _back
+        _plain_add(surf_istem + _sfx, _r, _a)
+
+
+for _surf, (_read, _acc) in list(_WORDS.items()):
+    if (len(_surf) >= 2 and len(_read) >= 2
+            and _surf[-1] in _GODAN_STEM and _read[-1] == _surf[-1]
+            and not _surf.endswith("ない") and not _surf.endswith("たい")):
+        if _surf[-1] == "る" and _read[-2] in _IE_ROW:
+            # ichidan: 食べる -> 食べて/食べた/食べない/食べたい; stem 食べ;
+            # potential/passive 食べられる (+ its own て/polite forms)
+            _verb_forms_add(_surf[:-1], _read[:-1], "て", "", _acc)
+            _tai_forms_add(_surf[:-1], _read[:-1], _acc)
+            if len(_surf) >= 2:
+                _plain_add(_surf[:-1], _read[:-1], None)
+            _pot_s, _pot_r = _surf[:-1] + "られ", _read[:-1] + "られ"
+            _pa = _acc if _acc in (None, 0) else _moras_len(_pot_r + "る") - 1
+            _plain_add(_pot_s + "る", _pot_r + "る", _pa)
+            _polite_add(_pot_s, _pot_r)
+            _verb_forms_add(_pot_s, _pot_r, "て", "", _pa)
+        else:
+            _fin = _surf[-1]
+            _verb_forms_add(_surf[:-1], _read[:-1], _GODAN_TE[_fin],
+                            _GODAN_NAI[_fin], _acc)
+            _istem_s = _surf[:-1] + _GODAN_STEM[_fin]
+            _istem_r = _read[:-1] + _GODAN_STEM[_fin]
+            _tai_forms_add(_istem_s, _istem_r, _acc)
+            if len(_istem_s) >= 2:
+                _plain_add(_istem_s, _istem_r, None)
+            # potential (読む -> 読める), an ichidan verb of its own
+            _pot_s = _surf[:-1] + _GODAN_POT[_fin]
+            _pot_r = _read[:-1] + _GODAN_POT[_fin]
+            _pa = _acc if _acc in (None, 0) else _moras_len(_pot_r + "る") - 1
+            _plain_add(_pot_s + "る", _pot_r + "る", _pa)
+            _polite_add(_pot_s, _pot_r)
+            _verb_forms_add(_pot_s, _pot_r, "て", "", _pa)
+
 _READING_ACCENT: dict[str, int] = {}
 for _surf, (_read, _acc) in _WORDS.items():
     if _acc is not None:
@@ -196,6 +286,7 @@ _ATTACH = {
     "ましょう": "ましょう", "ください": "ください",
     "だ": "だ", "だった": "だった", "じゃない": "じゃない",
     "ですね": "ですね", "ですよ": "ですよ", "ですか": "ですか",
+    "なさい": "なさい",
 }
 
 _MAX_SURFACE = max(
@@ -461,7 +552,8 @@ def _assemble_phrases(
     _TE_AUX = (
         "いる", "います", "いました", "いた", "いて", "いない", "いません",
         "ある", "あります", "ありました", "おく", "おきます", "しまう",
-        "しまいます", "しまった", "みる", "みます", "ください", "くる",
+        "しまいます", "しまった", "しまいました", "しまって", "みる",
+        "みます", "ください", "くる",
         "きます", "きた", "いく", "いきます",
     )
 
