@@ -397,6 +397,27 @@ _CHAR_DATA = """
 # entry per line. Looked up before the per-character table.
 # ---------------------------------------------------------------------------
 
+_CHAR_DATA += """
+骡luo2 驯xun4 肇zhao4 砰peng1 迄qi4 垣yuan2 斟zhen1 漕cao2 萼e4 葫hu2
+梗geng3 筷kuai4 洼wa1 僻pi4 鳌ao2 镶xiang1 捆kun3 昧mei4 跺duo4 棘ji2
+曙shu3 阜fu4 豁huo4 挟xie2 酥su1 眨zha3 岔cha4 邹zou1 稼jia4 逵kui2
+揉rou2 蛙wa1 俭jian3 匣xia2 陋lou4 羌qiang1 盔kui1 缆lan3 聂nie4 莉li4
+痰tan2 抒shu1 慷kang1 芜wu2 扳ban1 懈xie4 汛xun4 悍han4 呕ou3 虞yu2
+瑕xia2 酚fen1 伺si4 羡xian4 拽zhuai4 蔗zhe4 滇dian1 苔tai2 彬bin1 拇mu3
+冥ming2 厕ce4 絮xu4 羹geng1 奕yi4 铮zheng1 矶ji1 晖hui1 匕bi3 逗dou4
+哺bu3 倪ni2 怠dai4 瞩zhu3 檀tan2 蕉jiao1 缀zhui4 苕tiao2 猿yuan2 簿bu4
+缉ji1 皋gao1 楠nan2 萌meng2 焖men4 斡wo4 揖yi1 祺qi2 烷wan2 芋yu4
+绽zhan4 侗dong4 谬miu4 匙chi2 橙cheng2 撼han4 剌la2 撮cuo1 碾nian3
+垦ken3 逍xiao1 彰zhang1 佃dian4 邑yi4 诰gao4 梓zi3 啪pa1 嗡weng1 羁ji1
+汞gong3 敝bi4 嚣xiao1 辫bian4 蝇ying2 沅yuan2 惭can2 蠡li2 娴xian2
+墟xu1 咧lie3 漳zhang1 孢bao1 缕lv3 炯jiong3 嵩song1 缎duan4 饷xiang3
+唬hu3 哉zai1 濒bin1 峭qiao4 殉xun4 霎sha4 椭tuo3 啤pi2 咯ka3 婿xu4
+眯mi1 鸪gu1 珂ke1 靡mi3 诲hui4 渤bo2 钥yao4 肘zhou3 嘶si1 孽nie4 饵er3
+咚dong1 敕chi4 桨jiang3 樱ying1 戎rong2 榻ta4 愕e4 鹧zhe4 蔓man4 晤wu4
+憋bie1 啼ti2 懿yi4 骸hai2 摹mo2 磋cuo1 趾zhi3 咏yong3 鲤li3 翘qiao4
+吭keng1 骞qian1 拣jian3 鳄e4 乍zha4 酯zhi3 绰chuo4 栅zha4 鸠jiu1 氟fu2
+"""
+
 _PHRASE_DATA = """
 银行 yin2 hang2
 行长 hang2 zhang3
