@@ -505,3 +505,37 @@ def test_en_acronym_spellout():
     for t in ("a GPU", "my PIN", "an ID"):
         out = english_to_ipa(t)
         assert all(c in symbols for c in out), out
+
+
+def test_frontend_fuzz_never_crashes():
+    """Arbitrary mixed input through the full cleaner: never raises, and
+    the output always encodes into the 71-symbol inventory (the invalid-
+    symbol filter is the last line of defense, same contract as the
+    reference's text_to_sequence symbol filter)."""
+    import random
+
+    from vits_tpu.text import cleaned_text_to_sequence
+    from vits_tpu.text.cleaners import clean_text
+
+    rng = random.Random(114514)
+    pools = [
+        (0x20, 0x7E),      # ASCII
+        (0x3040, 0x30FF),  # kana
+        (0x4E00, 0x9FFF),  # CJK
+        (0xFF01, 0xFF60),  # fullwidth
+        (0x0250, 0x02AF),  # IPA block (may collide with symbols)
+    ]
+    tags = ["[ZH]", "[JA]", "[EN]", "[P]", ""]
+    for _ in range(60):
+        parts = []
+        for _ in range(rng.randint(1, 4)):
+            lo, hi = pools[rng.randrange(len(pools))]
+            body = "".join(
+                chr(rng.randint(lo, hi)) for _ in range(rng.randint(0, 12))
+            )
+            tag = tags[rng.randrange(len(tags))]
+            parts.append(f"{tag}{body}{tag}" if tag else body)
+        text = " ".join(parts)
+        cleaned, lang = clean_text(text)
+        seq = cleaned_text_to_sequence(cleaned)
+        assert len(seq) == len(cleaned) == len(lang)
