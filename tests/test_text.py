@@ -539,3 +539,19 @@ def test_frontend_fuzz_never_crashes():
         cleaned, lang = clean_text(text)
         seq = cleaned_text_to_sequence(cleaned)
         assert len(seq) == len(cleaned) == len(lang)
+
+
+def test_kanji_dict_integrity():
+    """Every vendored JA entry: hiragana-only reading, accent within the
+    mora count (catches transcription typos when the lexicon grows)."""
+    import re
+
+    from vits_tpu.text.kanji_dict import WORDS, CHARS
+
+    hira = re.compile(r"^[ぁ-ゖー]+$")
+    for surf, (read, acc) in WORDS.items():
+        assert hira.match(read), (surf, read)
+        moras = len(read) - sum(read.count(c) for c in "ゃゅょ")
+        assert acc is None or 0 <= acc <= moras, (surf, read, acc)
+    for ch, read in CHARS.items():
+        assert hira.match(read), (ch, read)
