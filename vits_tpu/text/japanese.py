@@ -120,7 +120,8 @@ from vits_tpu.text.kanji_dict import WORDS as _BASE_WORDS, CHARS as _CHAR_READIN
 # the stem stays put, so the paradigm is purely suffixal. The nucleus for
 # inflected forms falls on the mora before the suffix for accented
 # adjectives (高い[2] -> 高かった たか↓かった) and stays heiban for [0].
-_I_ADJ_SUFFIXES = ("かった", "くない", "くなかった", "くて", "く", "ければ")
+_I_ADJ_SUFFIXES = ("かった", "くない", "くなかった", "くなければ", "くて",
+                   "く", "ければ", "さ", "そう")
 _WORDS: dict[str, tuple[str, int | None]] = dict(_BASE_WORDS)
 for _surf, (_read, _acc) in _BASE_WORDS.items():
     if (len(_surf) >= 2 and _surf.endswith("い") and _read.endswith("い")
