@@ -246,6 +246,12 @@ for _surf, (_read, _acc) in list(_WORDS.items()):
             _plain_add(_pot_s + "る", _pot_r + "る", _pa)
             _polite_add(_pot_s, _pot_r)
             _verb_forms_add(_pot_s, _pot_r, "て", "", _pa)
+            # volitional 食べよう / conditional 食べれば
+            _vr = _read[:-1] + "よう"
+            _plain_add(_surf[:-1] + "よう", _vr, _moras_len(_vr) - 1)
+            _br = _read[:-1] + "れば"
+            _ba = _acc if _acc in (None, 0) else min(_acc, _moras_len(_br) - 1)
+            _plain_add(_surf[:-1] + "れば", _br, _ba)
         else:
             _fin = _surf[-1]
             _verb_forms_add(_surf[:-1], _read[:-1], _GODAN_TE[_fin],
@@ -262,6 +268,16 @@ for _surf, (_read, _acc) in list(_WORDS.items()):
             _plain_add(_pot_s + "る", _pot_r + "る", _pa)
             _polite_add(_pot_s, _pot_r)
             _verb_forms_add(_pot_s, _pot_r, "て", "", _pa)
+            # volitional 行こう (o-row + う) / conditional 行けば (e-row + ば)
+            _GODAN_O = {"う": "お", "く": "こ", "ぐ": "ご", "す": "そ",
+                        "つ": "と", "ぬ": "の", "ぶ": "ぼ", "む": "も",
+                        "る": "ろ"}
+            _vr = _read[:-1] + _GODAN_O[_fin] + "う"
+            _plain_add(_surf[:-1] + _GODAN_O[_fin] + "う", _vr,
+                       _moras_len(_vr) - 1)
+            _br = _pot_r + "ば"
+            _ba = _acc if _acc in (None, 0) else min(_acc, _moras_len(_br) - 1)
+            _plain_add(_pot_s + "ば", _br, _ba)
 
 _READING_ACCENT: dict[str, int] = {}
 for _surf, (_read, _acc) in _WORDS.items():
