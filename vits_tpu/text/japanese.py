@@ -278,6 +278,13 @@ for _surf, (_read, _acc) in list(_WORDS.items()):
             _br = _pot_r + "ば"
             _ba = _acc if _acc in (None, 0) else min(_acc, _moras_len(_br) - 1)
             _plain_add(_pot_s + "ば", _br, _ba)
+            # passive 読まれる (a-row + れる), an ichidan verb of its own
+            _pas_s = _surf[:-1] + _GODAN_NAI[_fin] + "れ"
+            _pas_r = _read[:-1] + _GODAN_NAI[_fin] + "れ"
+            _psa = _acc if _acc in (None, 0) else _moras_len(_pas_r + "る") - 1
+            _plain_add(_pas_s + "る", _pas_r + "る", _psa)
+            _polite_add(_pas_s, _pas_r)
+            _verb_forms_add(_pas_s, _pas_r, "て", "", _psa)
 
 _READING_ACCENT: dict[str, int] = {}
 for _surf, (_read, _acc) in _WORDS.items():
