@@ -1131,6 +1131,9 @@ _PHRASE_DATA = """
 喝令 he4 ling4
 喝水 he1 shui3
 喝酒 he1 jiu3
+睡觉 shui4 jiao4
+午觉 wu3 jiao4
+睡懒觉 shui4 lan3 jiao4
 """.strip()
 
 _TOKEN_RE = re.compile(r"([㐀-鿿])([a-z]+[1-5])")
