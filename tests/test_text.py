@@ -466,6 +466,11 @@ def test_ja_plain_verb_forms():
     assert jro("世界中を旅したい") == "se↑ka↓ijuuo ta↑bi ʃi↑tai"  # 中=じゅう
     assert (jro("お金を払わなければならない")
             == "o↑kaneo ha↑rawa↓nakereba na↑ra↓nai")          # なければ
+    assert jro("一緒に行こう") == "i↑Qʃoni i↑ko↓o"             # volitional
+    assert jro("これを読めば分かる") == "ko↑reo yo↓meba wa↑ka↓ru"  # ば-cond.
+    assert (jro("先生に叱られました")
+            == "se↑Nse↓eni ʃi↑kararema↓ʃita")                 # passive
+    assert jro("高さは十分です") == "ta↑ka↓sawa ju↑ubu↓Ndesu"  # さ-nominal
 
 
 def test_vendored_dicts_no_conflicting_duplicates():
