@@ -50,6 +50,19 @@ def main() -> None:
     }
     assert local["x"].shape[0] == n_local, (local["x"].shape, n_local)
 
+    # On a loaded single-core host the two workers can reach the first
+    # cross-process collective minutes apart (imports + model build are
+    # time-sliced), and XLA's gloo context init has a HARDCODED 30 s
+    # key-value rendezvous deadline (observed: "Gloo context initialization
+    # failed ... GetKeyValue() timed out ... 29.99s"). Synchronize via the
+    # coordination-service barrier — whose timeout we control — so both
+    # processes enter gloo init within RPC latency of each other.
+    from jax._src import distributed as _dist
+
+    _dist.global_state.client.wait_at_barrier(
+        "pre_first_collective", timeout_in_ms=30 * 60 * 1000
+    )
+
     mesh = make_mesh(len(jax.devices()))
     state = replicate_state(state, mesh)
     global_batch = shard_batch(local, mesh)

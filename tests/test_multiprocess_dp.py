@@ -39,7 +39,11 @@ def test_two_process_dp_matches_single_process():
     env = dict(os.environ)
     # each worker gets exactly ONE local CPU device (no virtual-device
     # flag), so the global mesh is 2 devices across 2 processes
-    env.pop("XLA_FLAGS", None)
+    env.pop("XLA_FLAGS", None)  # drop the 8-virtual-device flag
+    # keep the long collective rendezvous deadline (conftest rationale):
+    # two fresh processes compile the step concurrently on this 1-core
+    # host and can hit an execution-time collective tens of seconds apart
+    env["XLA_FLAGS"] = "--xla_cpu_collective_call_terminate_timeout_seconds=1200"
     env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen(
