@@ -23,12 +23,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 @pytest.mark.slow
 def test_driver_invocation_fresh_subprocess(tmp_path):
     """The exact command the driver runs, from a fresh process, with the
-    real environment (incl. the host-fingerprinted compile cache the dryrun
-    itself enables — foreign-machine artifacts are unreachable by dir-name
-    construction, so warm hits are safe; a cold run here also WARMS the
-    cache for the driver's own later invocation on this host). A cold
-    compile of the full GAN step measures ~8.5 min on an idle host and far
-    longer under load, hence the generous timeout."""
+    real environment. The dryrun uses NO persistent compile cache (revised
+    round 3: the cpuinfo-fingerprinted dir was observed colliding across
+    masked fleet VMs and serving foreign-microarchitecture AOT artifacts —
+    the round-2 rc=134 crash class). A cold compile of the full GAN step
+    measures ~8.5 min on an idle host and far longer under load, hence the
+    generous timeout."""
     env = dict(os.environ)
     for k in ("XLA_FLAGS", "JAX_PLATFORMS", "VITS_TPU_COMPILE_CACHE",
               "JAX_COMPILATION_CACHE_DIR"):
