@@ -311,6 +311,12 @@ _ATTACH = {
     "だ": "だ", "だった": "だった", "じゃない": "じゃない",
     "ですね": "ですね", "ですよ": "ですよ", "ですか": "ですか",
     "なさい": "なさい",
+    # する-passive auxiliaries (審議される etc. — される must not split
+    # into さ+れる across an accent-phrase boundary)
+    "される": "される", "されます": "されます",
+    "されました": "されました", "された": "された", "されて": "されて",
+    "されている": "されている", "されています": "されています",
+    "されない": "されない", "されません": "されません",
 }
 
 _MAX_SURFACE = max(
@@ -398,6 +404,10 @@ _COUNTERS = {
     "歳": "さい", "才": "さい", "冊": "さつ", "枚": "まい", "台": "だい",
     "匹": "ひき", "度": "ど", "番": "ばん", "階": "かい", "秒": "びょう",
     "週": "しゅう", "点": "てん", "頭": "とう", "杯": "はい", "軒": "けん",
+    "号": "ごう", "名": "めい", "件": "けん", "巻": "かん",
+    "章": "しょう", "課": "か", "泊": "はく", "曲": "きょく",
+    "席": "せき", "位": "い", "勝": "しょう", "敗": "はい",
+    "倍": "ばい", "割": "わり", "票": "ひょう", "歩": "ほ",
 }
 _COUNTER_IRREGULAR = {
     ("1", "人"): "ひとり", ("2", "人"): "ふたり", ("4", "人"): "よにん",
