@@ -560,3 +560,18 @@ def test_kanji_dict_integrity():
         assert acc is None or 0 <= acc <= moras, (surf, read, acc)
     for ch, read in CHARS.items():
         assert hira.match(read), (ch, read)
+
+
+def test_en_letter_to_sound_magic_e():
+    """OOV letter-to-sound: magic-e lengthens (blaze/glide/page), soft c/g
+    and silent finals behave (office-like words come from the lexicon)."""
+    from vits_tpu.text.english import _letter_to_sound as lts
+
+    assert lts("blaze") == "bleɪz"
+    assert lts("glide") == "glaɪd"
+    assert lts("stone") == "stoʊn"
+    assert lts("page") == "peɪʤ"
+    assert lts("race") == "reɪs"
+    assert lts("lounge") == "laʊnʤ"
+    assert lts("bridge") == "brɪʤ"
+    assert lts("blimp") == "blɪmp"  # no silent e: unchanged short vowels

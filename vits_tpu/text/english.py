@@ -89,7 +89,8 @@ _VOICELESS_FINAL = tuple("ptkfθ")
 _LTS_RULES = [
     ("tion", "ʃən"), ("sion", "ʒən"), ("ture", "ʧəɹ"), ("ought", "ɔt"),
     ("augh", "æf"), ("ough", "ʌf"), ("eigh", "eɪ"), ("igh", "aɪ"),
-    ("tch", "ʧ"), ("dge", "ʤ"), ("ck", "k"), ("wh", "w"), ("wr", "ɹ"),
+    ("tch", "ʧ"), ("dge", "ʤ"), ("nge", "nʤ"), ("ck", "k"),
+    ("wh", "w"), ("wr", "ɹ"),
     ("kn", "n"), ("qu", "kw"), ("ph", "f"), ("gh", "g"), ("sh", "ʃ"),
     ("ch", "ʧ"), ("th", "θ"), ("ng", "ŋ"), ("oo", "u"), ("ee", "i"),
     ("ea", "i"), ("ou", "aʊ"), ("ow", "oʊ"), ("oi", "ɔɪ"), ("oy", "ɔɪ"),
@@ -102,6 +103,8 @@ _LTS_RULES = [
     ("p", "p"), ("q", "k"), ("r", "r"), ("s", "s"), ("t", "t"),
     ("u", "ə"), ("v", "v"), ("w", "w"), ("x", "ks"), ("y", "i"),
     ("z", "z"), ("'", ""),
+    # magic-e long vowels (uppercased by _letter_to_sound's silent-e strip)
+    ("A", "eɪ"), ("E", "i"), ("I", "aɪ"), ("O", "oʊ"), ("U", "ju"),
 ]
 
 
@@ -244,16 +247,31 @@ def _letter_to_sound(word: str) -> str:
     out = ""
     i = 0
     w = word
-    # silent final e lengthens the previous vowel (approximate); keep it
-    # after soft c/g so the dge/ce/ge rules can fire (bridge, office)
+    # silent final e lengthens the previous vowel (magic e: blaze -> bleɪz,
+    # glide -> glaɪd); uppercase marks the long vowel for the rule table.
+    # Keep the e after soft c/g so the dge/ce/ge rules fire (bridge, office)
     if (len(w) > 3 and w.endswith("e") and w[-2] not in "aeiou"
             and not w.endswith(("dge", "ce", "ge"))):
         w = w[:-1]
+        if (len(w) >= 2 and w[-2] in "aeiou" and
+                (len(w) < 3 or w[-3] not in "aeiou")):
+            w = w[:-2] + w[-2].upper() + w[-1]
+    elif (len(w) > 3 and w.endswith(("ce", "ge")) and w[-3] in "aeiou"
+            and (len(w) < 5 or w[-4] not in "aeiou")):
+        # magic e through soft c/g: nice -> naɪs, page -> peɪʤ
+        w = w[:-3] + w[-3].upper() + w[-2:]
     while i < len(w):
         # context-sensitive cases the flat rule list cannot express
         if w[i] == "c" and i + 1 < len(w) and w[i + 1] in "eiy":
             out += "s"  # soft c (cell, city, cycle)
             i += 1
+            continue
+        if w[i] == "g" and i + 1 < len(w) and w[i + 1] in "ey":
+            out += "ʤ"  # soft g (page, gym); gi- kept hard (give, girl)
+            i += 1
+            continue
+        if w[i] == "e" and i == len(w) - 1 and i > 0 and w[i - 1] in "cg":
+            i += 1  # silent final e kept for the soft c/g context
             continue
         if w[i] == "y":
             out += "j" if i == 0 else ("i" if i == len(w) - 1 else "ɪ")
