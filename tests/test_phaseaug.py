@@ -19,13 +19,22 @@ def _wave(b=2, t=2048, seed=0):
 
 
 def test_magnitude_preserved():
+    # all-pass approximation: full-T rfft magnitudes preserved EXACTLY
     y = _wave()
-    a, _ = phaseaug_sync(y, y, jax.random.PRNGKey(0))
+    a, _ = phaseaug_sync(y, y, jax.random.PRNGKey(0), exact=False)
     mag0 = jnp.abs(jnp.fft.rfft(y[..., 0], axis=1))
     mag1 = jnp.abs(jnp.fft.rfft(a[..., 0], axis=1))
     np.testing.assert_allclose(np.asarray(mag0), np.asarray(mag1), atol=1e-3)
     # but the waveform itself changed (a real rotation happened)
     assert not np.allclose(np.asarray(y), np.asarray(a), atol=1e-3)
+
+    # exact (package) path: signal energy preserved to a few % (per-frame
+    # rotation + iSTFT is not STFT-consistent, so exact preservation is
+    # neither expected nor what the package itself does)
+    e, _ = phaseaug_sync(y, y, jax.random.PRNGKey(0))
+    r = float(jnp.sum(e**2) / jnp.sum(y**2))
+    assert 0.9 < r < 1.1, r
+    assert not np.allclose(np.asarray(y), np.asarray(e), atol=1e-3)
 
 
 def test_synchronized_rotation():
@@ -69,9 +78,12 @@ def test_differentiable():
 
 
 def test_dc_untouched():
-    """DC bin stays real: a constant offset passes through unchanged."""
+    """DC bin stays real: a constant offset passes through unchanged on the
+    all-pass path. (On the exact STFT path the hann window spreads a
+    constant across a few bins whose rotation perturbs the mean slightly —
+    the package's own behavior — so only near-preservation is asserted.)"""
     y = jnp.ones((1, 1024, 1), jnp.float32)
-    a, _ = phaseaug_sync(y, y, jax.random.PRNGKey(5))
-    np.testing.assert_allclose(
-        float(jnp.mean(a)), 1.0, rtol=1e-4
-    )
+    a, _ = phaseaug_sync(y, y, jax.random.PRNGKey(5), exact=False)
+    np.testing.assert_allclose(float(jnp.mean(a)), 1.0, rtol=1e-4)
+    e, _ = phaseaug_sync(y, y, jax.random.PRNGKey(5))
+    np.testing.assert_allclose(float(jnp.mean(e)), 1.0, rtol=0.1)

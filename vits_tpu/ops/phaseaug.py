@@ -17,14 +17,22 @@ default pipeline:
      augmentation artifact-free
   3. add a linear ramp delta * pi * (k/K), delta ~ U(-delta_max, delta_max)
      with delta_max = 2.0 (a sub-sample circular time shift)
-  4. rotate: X[k] <- X[k] * exp(i * phi[k]), identically for every frame
+  4. rotate: X[k] <- X[k] * exp(i * phi[k]), identically for every frame,
+     inside an STFT (hann, nfft=1024, hop=256, centered/reflect) round-trip
 
-Because phi is constant across frames, the rotation is a linear
-time-invariant all-pass filter; this implementation applies exactly that
-filter in the length-T rfft domain (phi interpolated from the 513-bin STFT
-grid onto the T//2+1-bin grid), which avoids the package's STFT/iSTFT
-round-trip and its overlap-add leakage — bitwise-equal magnitudes, one fused
-FFT per tensor on TPU.
+The default path here reproduces the package's STFT -> rotate -> iSTFT
+pipeline EXACTLY (verified against an independent torch.stft/istft oracle
+to float32 precision, tests/test_phaseaug_oracle.py), built TPU-first:
+batched rfft/irfft over static frames and a reshape-based overlap-add
+(hop divides nfft, so OLA is four shifted pads + a sum — no scatter).
+
+Because phi is constant across frames the rotation is *approximately* an
+LTI all-pass; `apply_allpass` applies that idealization in one length-T
+rfft (phi interpolated onto the T//2+1 grid). Measured against the STFT
+round-trip it deviates by ~8% waveform RMS (window/filter commutation
+error — the smoothed phi still carries ~40-sample group delays), so the
+exact path is the training default and the all-pass stays as a documented
+fast approximation.
 """
 
 from __future__ import annotations
@@ -36,6 +44,7 @@ import jax
 import jax.numpy as jnp
 
 NFFT = 1024
+HOP = 256
 VAR = 6.0
 DELTA_MAX = 2.0
 CUTOFF = 0.05
@@ -98,27 +107,91 @@ def sample_phi(
     return phi.at[:, 0].set(0.0)  # DC stays real
 
 
-def phaseaug_sync(
-    y: jax.Array,
-    y_hat: jax.Array,
-    rng: jax.Array,
-) -> tuple[jax.Array, jax.Array]:
-    """One synchronized random rotation applied to y and y_hat [B, T, 1]
-    (the package's forward_sync contract)."""
-    b, t, _ = y.shape
-    phi = sample_phi(rng, b)  # [B, 513] on the STFT-bin grid
-    # interpolate the smooth response onto the length-T rfft grid: the
-    # rotation is an LTI all-pass, so this is the exact same filter
+@functools.lru_cache(maxsize=4)
+def _window_and_envelope(t: int) -> tuple[np.ndarray, np.ndarray]:
+    """Hann analysis window + the OLA w^2 envelope over the padded length
+    (torch.istft's normalization denominator), cropped to [pad : pad+t]."""
+    w = np.hanning(NFFT + 1)[:-1].astype(np.float32)  # periodic hann
+    pad = NFFT // 2
+    n_frames = (t + 2 * pad - NFFT) // HOP + 1
+    env = np.zeros(t + 2 * pad, np.float32)
+    for i in range(n_frames):
+        env[i * HOP : i * HOP + NFFT] += w * w
+    return w, env[pad : pad + t].copy()
+
+
+def apply_phi_stft(x: jax.Array, phi: jax.Array) -> jax.Array:
+    """The package's exact pipeline on [B, T]: centered reflect-pad STFT
+    (hann/1024/256), rotate every frame by exp(i*phi[b, k]), iSTFT with OLA
+    w^2 normalization, crop back to T. Static shapes; OLA is reshape+pad
+    sums (HOP divides NFFT), so XLA sees only batched FFTs and adds."""
+    b, t = x.shape
+    assert t % HOP == 0, "segment length must be a hop multiple"
+    w, env = _window_and_envelope(t)
+    pad = NFFT // 2
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = (t + 2 * pad - NFFT) // HOP + 1
+    # gather-free framing: HOP divides NFFT and pad, so view the padded
+    # signal as HOP-sized blocks and build each frame from 4 shifted
+    # block-slices — XLA sees slices/concats, no gather op
+    r = NFFT // HOP
+    blocks = xp.reshape(b, -1, HOP)
+    frames = jnp.concatenate(
+        [blocks[:, j : j + n_frames][:, :, None, :] for j in range(r)], axis=2
+    ).reshape(b, n_frames, NFFT)
+    frames = frames * w[None, None, :]
+    spec = jnp.fft.rfft(frames, axis=-1)  # [B, F, 513]
+    spec = spec * jnp.exp(1j * phi)[:, None, :]
+    out = jnp.fft.irfft(spec, n=NFFT, axis=-1) * w[None, None, :]
+    # overlap-add: NFFT/HOP = 4 chunks; chunk j of frame i lands at
+    # output block i+j -> four frame-axis-shifted pads summed
+    r = NFFT // HOP
+    chunks = out.reshape(b, n_frames, r, HOP)
+    total_blocks = n_frames + r - 1
+    acc = jnp.zeros((b, total_blocks, HOP), jnp.float32)
+    for j in range(r):
+        acc = acc + jnp.pad(
+            chunks[:, :, j, :], ((0, 0), (j, r - 1 - j), (0, 0))
+        )
+    y = acc.reshape(b, total_blocks * HOP)[:, pad : pad + t]
+    return y / jnp.asarray(env)[None, :]
+
+
+def apply_allpass(x: jax.Array, phi: jax.Array) -> jax.Array:
+    """Fast approximation on [B, T]: treat the frame-constant rotation as an
+    LTI all-pass and apply it in one length-T rfft (phi interpolated onto
+    the T//2+1 grid). ~8% waveform RMS from the exact STFT path (measured,
+    tests/test_phaseaug_oracle.py) — magnitudes on the full-T grid are
+    preserved exactly, per-frame STFT magnitudes approximately."""
+    b, t = x.shape
     n_freq = t // 2 + 1
     src = jnp.linspace(0.0, 1.0, phi.shape[1])
     dst = jnp.linspace(0.0, 1.0, n_freq)
     phi_t = jax.vmap(lambda p: jnp.interp(dst, src, p))(phi)  # [B, F]
     if t % 2 == 0:
         phi_t = phi_t.at[:, -1].set(0.0)  # Nyquist bin must stay real
-    rot = jnp.exp(1j * phi_t)[:, :, None]
+    rot = jnp.exp(1j * phi_t)
+    spec = jnp.fft.rfft(x.astype(jnp.float32), axis=1)
+    return jnp.fft.irfft(spec * rot, n=t, axis=1)
+
+
+def phaseaug_sync(
+    y: jax.Array,
+    y_hat: jax.Array,
+    rng: jax.Array,
+    phi: jax.Array | None = None,
+    exact: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """One synchronized random rotation applied to y and y_hat [B, T, 1]
+    (the package's forward_sync contract). `phi` [B, NFFT//2+1] overrides
+    the sampled rotation (the oracle tests share one phi across
+    implementations); `exact=False` selects the LTI all-pass approximation."""
+    b, t, _ = y.shape
+    if phi is None:
+        phi = sample_phi(rng, b)  # [B, 513] on the STFT-bin grid
+    apply = apply_phi_stft if exact else apply_allpass
 
     def _apply(x):
-        spec = jnp.fft.rfft(x.astype(jnp.float32), axis=1)
-        return jnp.fft.irfft(spec * rot, n=t, axis=1).astype(x.dtype)
+        return apply(x[..., 0], phi).astype(x.dtype)[..., None]
 
     return _apply(y), _apply(y_hat)
