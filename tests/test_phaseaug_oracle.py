@@ -95,6 +95,25 @@ def test_edges_match_too():
     assert rel < 1e-4, rel
 
 
+def test_matmul_rotation_matches_fft():
+    """The MXU matmul rotation (TPU path) is numerically identical to the
+    rfft/irfft rotation (CPU path) — including complex DC/Nyquist phases,
+    whose imaginary parts both paths discard the same way."""
+    from vits_tpu.ops.phaseaug import apply_phi_stft
+
+    b, t = 2, 4096
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((b, t)) * 0.1, jnp.float32)
+    # deliberately non-zero Nyquist/DC-adjacent phases
+    phi = jnp.asarray(
+        np.asarray(sample_phi(jax.random.PRNGKey(4), b)), jnp.float32
+    )
+    y_fft = np.asarray(apply_phi_stft(x, phi, use_fft=True), np.float64)
+    y_mm = np.asarray(apply_phi_stft(x, phi, use_fft=False), np.float64)
+    rel = np.sqrt(((y_fft - y_mm) ** 2).sum()) / np.sqrt((y_fft**2).sum())
+    assert rel < 1e-5, rel
+
+
 def test_magnitude_agreement_on_stft_grid():
     """On the package's own STFT grid, the repo output's magnitudes match the
     oracle output's magnitudes to float32 precision, and both drift from the

@@ -120,11 +120,57 @@ def _window_and_envelope(t: int) -> tuple[np.ndarray, np.ndarray]:
     return w, env[pad : pad + t].copy()
 
 
-def apply_phi_stft(x: jax.Array, phi: jax.Array) -> jax.Array:
+@functools.lru_cache(maxsize=1)
+def _rotation_bases() -> tuple[np.ndarray, np.ndarray]:
+    """Real-DFT bases for the MXU matmul rotation path.
+
+    fwd [NFFT, 2K] = (cos | -sin): frames @ fwd -> (X_re | X_im), exactly
+    rfft. inv [2K, NFFT]: (R_re | R_im) @ inv -> irfft's real output —
+    Hermitian-inverse weights 1/N at DC/Nyquist and 2/N elsewhere, and the
+    -sin block reproduces irfft's implicit discard of the DC/Nyquist
+    imaginary parts (sin(0)=sin(pi*n)=0). Numerically identical to
+    irfft(rfft(f) * exp(i*phi)) to f32 roundoff."""
+    k = NFFT // 2 + 1
+    n = np.arange(NFFT)[:, None]
+    ks = np.arange(k)[None, :]
+    ang = 2.0 * np.pi * n * ks / NFFT
+    fwd = np.concatenate([np.cos(ang), -np.sin(ang)], axis=1)
+    wk = np.full(k, 2.0 / NFFT)
+    wk[0] = wk[-1] = 1.0 / NFFT
+    inv = np.concatenate(
+        [(np.cos(ang) * wk).T, (-np.sin(ang) * wk).T], axis=0
+    )
+    return fwd.astype(np.float32), inv.astype(np.float32)
+
+
+def _rotate_frames_matmul(frames: jax.Array, phi: jax.Array) -> jax.Array:
+    """Per-frame rotation by exp(i*phi[b]) as two real matmuls [B, F, NFFT]
+    -> [B, F, NFFT]. FFTs do not map onto the TPU MXU (they lower to
+    VPU-bound loops); a 1024-point DFT as a dense matmul does — the same
+    trade ops/stft.py makes for the training STFT."""
+    fwd, inv = _rotation_bases()
+    k = NFFT // 2 + 1
+    spec = jnp.einsum(
+        "bfn,nc->bfc", frames, fwd, preferred_element_type=jnp.float32
+    )
+    x_re, x_im = spec[..., :k], spec[..., k:]
+    c = jnp.cos(phi)[:, None, :]
+    s = jnp.sin(phi)[:, None, :]
+    rot = jnp.concatenate([x_re * c - x_im * s, x_re * s + x_im * c], axis=-1)
+    return jnp.einsum(
+        "bfc,cn->bfn", rot, inv, preferred_element_type=jnp.float32
+    )
+
+
+def apply_phi_stft(
+    x: jax.Array, phi: jax.Array, use_fft: bool | None = None
+) -> jax.Array:
     """The package's exact pipeline on [B, T]: centered reflect-pad STFT
     (hann/1024/256), rotate every frame by exp(i*phi[b, k]), iSTFT with OLA
     w^2 normalization, crop back to T. Static shapes; OLA is reshape+pad
-    sums (HOP divides NFFT), so XLA sees only batched FFTs and adds."""
+    sums (HOP divides NFFT). The rotation runs as DFT matmuls on the MXU on
+    TPU and as rfft/irfft elsewhere (`use_fft` overrides; both paths agree
+    to f32 roundoff — tests/test_phaseaug_oracle.py)."""
     b, t = x.shape
     assert t % HOP == 0, "segment length must be a hop multiple"
     w, env = _window_and_envelope(t)
@@ -140,9 +186,15 @@ def apply_phi_stft(x: jax.Array, phi: jax.Array) -> jax.Array:
         [blocks[:, j : j + n_frames][:, :, None, :] for j in range(r)], axis=2
     ).reshape(b, n_frames, NFFT)
     frames = frames * w[None, None, :]
-    spec = jnp.fft.rfft(frames, axis=-1)  # [B, F, 513]
-    spec = spec * jnp.exp(1j * phi)[:, None, :]
-    out = jnp.fft.irfft(spec, n=NFFT, axis=-1) * w[None, None, :]
+    if use_fft is None:
+        use_fft = jax.default_backend() != "tpu"
+    if use_fft:
+        spec = jnp.fft.rfft(frames, axis=-1)  # [B, F, 513]
+        spec = spec * jnp.exp(1j * phi)[:, None, :]
+        out = jnp.fft.irfft(spec, n=NFFT, axis=-1)
+    else:
+        out = _rotate_frames_matmul(frames, phi)
+    out = out * w[None, None, :]
     # overlap-add: NFFT/HOP = 4 chunks; chunk j of frame i lands at
     # output block i+j -> four frame-axis-shifted pads summed
     r = NFFT // HOP
