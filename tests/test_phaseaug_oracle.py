@@ -96,9 +96,10 @@ def test_edges_match_too():
 
 
 def test_matmul_rotation_matches_fft():
-    """The MXU matmul rotation (TPU path) is numerically identical to the
-    rfft/irfft rotation (CPU path) — including complex DC/Nyquist phases,
-    whose imaginary parts both paths discard the same way."""
+    """The explicit DFT-matmul rotation (an independent numerical reference;
+    measured slower on TPU, so never the default) is identical to the
+    rfft/irfft rotation — including complex DC/Nyquist phases, whose
+    imaginary parts both formulations discard the same way."""
     from vits_tpu.ops.phaseaug import apply_phi_stft
 
     b, t = 2, 4096

@@ -145,9 +145,17 @@ def _rotation_bases() -> tuple[np.ndarray, np.ndarray]:
 
 def _rotate_frames_matmul(frames: jax.Array, phi: jax.Array) -> jax.Array:
     """Per-frame rotation by exp(i*phi[b]) as two real matmuls [B, F, NFFT]
-    -> [B, F, NFFT]. FFTs do not map onto the TPU MXU (they lower to
-    VPU-bound loops); a 1024-point DFT as a dense matmul does — the same
-    trade ops/stft.py makes for the training STFT."""
+    -> [B, F, NFFT] — kept as an independent numerical reference for the
+    FFT path (the equivalence test cross-checks irfft's implicit DC/Nyquist
+    imaginary-part discard against the explicit Hermitian-inverse basis).
+
+    Measured NEGATIVE result (TPU v5e, B=64/F=36): this lowers to 29-250 ms
+    depending on einsum form, vs 2.4 ms for the entire FFT apply — XLA's
+    batched 1024-pt rfft/irfft is already fast on TPU, and the f32
+    matmul+elementwise fusions here hit a platform pathology (plain f32
+    `a @ b` at [2304,1024]x[1024,1026] runs 260 ms where the
+    preferred_element_type=f32 einsum runs 0.45 ms). So the FFT path is the
+    default on every backend; do NOT route the training step through this."""
     fwd, inv = _rotation_bases()
     k = NFFT // 2 + 1
     spec = jnp.einsum(
@@ -163,14 +171,16 @@ def _rotate_frames_matmul(frames: jax.Array, phi: jax.Array) -> jax.Array:
 
 
 def apply_phi_stft(
-    x: jax.Array, phi: jax.Array, use_fft: bool | None = None
+    x: jax.Array, phi: jax.Array, use_fft: bool = True
 ) -> jax.Array:
     """The package's exact pipeline on [B, T]: centered reflect-pad STFT
     (hann/1024/256), rotate every frame by exp(i*phi[b, k]), iSTFT with OLA
     w^2 normalization, crop back to T. Static shapes; OLA is reshape+pad
-    sums (HOP divides NFFT). The rotation runs as DFT matmuls on the MXU on
-    TPU and as rfft/irfft elsewhere (`use_fft` overrides; both paths agree
-    to f32 roundoff — tests/test_phaseaug_oracle.py)."""
+    sums (HOP divides NFFT). Rotation via batched rfft/irfft (2.4 ms for
+    [64, 8192] on a v5e — ~4.6% of a batch-32 train step; the DFT-matmul
+    alternative measured 12-100x slower, see _rotate_frames_matmul).
+    `use_fft=False` selects that matmul reference path (tests only; both
+    agree to f32 roundoff — tests/test_phaseaug_oracle.py)."""
     b, t = x.shape
     assert t % HOP == 0, "segment length must be a hop multiple"
     w, env = _window_and_envelope(t)
@@ -186,8 +196,6 @@ def apply_phi_stft(
         [blocks[:, j : j + n_frames][:, :, None, :] for j in range(r)], axis=2
     ).reshape(b, n_frames, NFFT)
     frames = frames * w[None, None, :]
-    if use_fft is None:
-        use_fft = jax.default_backend() != "tpu"
     if use_fft:
         spec = jnp.fft.rfft(frames, axis=-1)  # [B, F, 513]
         spec = spec * jnp.exp(1j * phi)[:, None, :]
