@@ -136,7 +136,7 @@ def test_magnitude_agreement_on_stft_grid():
 
     def mags(sig):
         spec = torch.stft(
-            torch.from_numpy(np.ascontiguousarray(sig)).to(torch.float64),
+            torch.from_numpy(np.array(sig, dtype=np.float64, copy=True)),
             NFFT, HOP, window=window, center=True, pad_mode="reflect",
             return_complex=True,
         )
