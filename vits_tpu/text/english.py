@@ -41,7 +41,7 @@ ARPA_TO_IPA = {
 }
 
 # built-in lexicon for the dependency-free fallback: the vendored
-# CMU-derived frequent-word dictionary (text/en_dict.py, ~1,900 base forms
+# CMU-derived frequent-word dictionary (text/en_dict.py, ~5,300 base forms
 # with stress marks) layered over the original small seed list below; the
 # affix layer in _word_to_ipa_fallback derives regular inflections, so the
 # effective form coverage is several times larger.
