@@ -575,3 +575,22 @@ def test_en_letter_to_sound_magic_e():
     assert lts("lounge") == "laʊnʤ"
     assert lts("bridge") == "brɪʤ"
     assert lts("blimp") == "blɪmp"  # no silent e: unchanged short vowels
+
+
+def test_zh_latin_letters_match_reference_semantics():
+    """Latin letters in [ZH] text are dropped BEFORE g2p — the reference's
+    PaddleSpeech frontend does exactly this (reference
+    text/frontend/zh_frontend.py:131-132 strips [a-zA-Z]+ per segment), so
+    mandarin.py's latin_to_bopomofo is live only for the raw-pinyin [P] tag."""
+    from vits_tpu.text.cleaners import cje_cleaner
+    from vits_tpu.text.mandarin import chinese_to_ipa
+
+    # kg / AB vanish from the hanzi path; the hanzi around them still reads.
+    assert chinese_to_ipa("他体重70kg") == chinese_to_ipa("他体重70")
+    out, _ = cje_cleaner("[ZH]AB型血[ZH]")
+    assert "型" not in out and out  # hanzi converted, letters gone
+
+    # [P] path: letters fall through the pinyin tables (k->ㄎ->kʰ, g->ㄍ->k⁼),
+    # same as the reference's bopomofo() replacement cascade.
+    out_p, _ = cje_cleaner("[P]kg[P]")
+    assert out_p == "kʰk⁼"
