@@ -8,7 +8,7 @@ budget — the round-1 bench over-credited this). vs_baseline = rtf / 20
 Extra keys carried in the same line (BASELINE.json scenario list):
   inference_rtf_padded  - decoder-work RTF at the padded frame budget
   batched_rtf           - true-audio RTF at batch 8 (multi-speaker CJE)
-  train_steps_per_sec   - full GAN train step (batch 16 x 400 frames)
+  train_steps_per_sec   - full GAN train step (batch 32 x 400 frames)
   train_mfu             - model FLOP utilization of the train step, from
                           XLA cost analysis / chip peak
   device                - chip kind

@@ -201,6 +201,10 @@ def _lexicon_lookup(word: str) -> str | None:
             return _derived(base, _plural_suffix(base))
     if word.endswith("s") and not word.endswith("ss"):
         base = _lexicon_base(word[:-1])
+        if base is None and len(word) >= 6:
+            # plural of a word the affix layer itself derives
+            # (holders, contributors, misreadings) — one recursive level
+            base = _lexicon_lookup(word[:-1])
         if base is not None:
             return _derived(base, _plural_suffix(base))
     if word.endswith("ied") and word[:-3] + "y" in _LEXICON:
@@ -222,6 +226,11 @@ def _lexicon_lookup(word: str) -> str | None:
         base = _lexicon_base(word[:-2]) or _lexicon_base(word[:-1])
         if base is not None:
             return _derived(base, "ər")
+    if word.endswith("or") and len(word) >= 6:
+        # latinate agent nouns: contributor -> contribute, director -> direct
+        base = _lexicon_base(word[:-2])
+        if base is not None:
+            return _derived(base, "ər")
     if word.endswith("ly"):
         base = _lexicon_base(word[:-2])
         if base is not None:
@@ -237,8 +246,13 @@ def _lexicon_lookup(word: str) -> str | None:
                      ("out", "ˌaʊt"), ("mis", "mɪs")):
         if word.startswith(pre) and len(word) - len(pre) >= 3:
             rest = word[len(pre):]
-            if rest in _LEXICON:
-                return ipa + _LEXICON[rest]
+            hit = _LEXICON.get(rest)
+            if hit is None and len(rest) >= 5:
+                # prefix on a derived form (unsupported, disclaimer) —
+                # one recursive level through the suffix rules
+                hit = _lexicon_lookup(rest)
+            if hit is not None:
+                return ipa + hit
     return None
 
 
