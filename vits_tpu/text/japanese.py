@@ -77,6 +77,8 @@ _KANA_BASE = {
     "ば": "ba", "び": "bi", "ぶ": "bu", "べ": "be", "ぼ": "bo",
     "ぱ": "pa", "ぴ": "pi", "ぷ": "pu", "ぺ": "pe", "ぽ": "po",
     "ぁ": "a", "ぃ": "i", "ぅ": "u", "ぇ": "e", "ぉ": "o",
+    "ゔ": "vu", "ゕ": "ka", "ゖ": "ka",  # ヴ / counter ヵ・ヶ (一ヶ月)
+    "ゃ": "ya", "ゅ": "yu", "ょ": "yo",  # orphan small yoon: never leak raw
     "ー": "",  # long vowel handled below
 }
 _KANA_YOON = {
@@ -91,6 +93,15 @@ _KANA_YOON = {
     "じゃ": "ja", "じゅ": "ju", "じょ": "jo",
     "びゃ": "bya", "びゅ": "byu", "びょ": "byo",
     "ぴゃ": "pya", "ぴゅ": "pyu", "ぴょ": "pyo",
+    # foreign-sound moras (katakana loanwords; openjtalk phoneme alphabet:
+    # フォン -> f o N, ティ -> t i, ヴァ -> v a, チェ -> ch e ...)
+    "うぃ": "wi", "うぇ": "we", "うぉ": "wo", "いぇ": "ye",
+    "ふぁ": "fa", "ふぃ": "fi", "ふぇ": "fe", "ふぉ": "fo", "ふゅ": "fyu",
+    "てぃ": "ti", "てゅ": "tyu", "でぃ": "di", "でゅ": "dyu",
+    "とぅ": "tu", "どぅ": "du", "すぃ": "si", "ずぃ": "zi",
+    "ちぇ": "ʧe", "しぇ": "ʃe", "じぇ": "je",
+    "つぁ": "tsa", "つぃ": "tsi", "つぇ": "tse", "つぉ": "tso",
+    "ゔぁ": "va", "ゔぃ": "vi", "ゔぇ": "ve", "ゔぉ": "vo", "ゔゅ": "vyu",
 }
 
 
