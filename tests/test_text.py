@@ -594,3 +594,20 @@ def test_zh_latin_letters_match_reference_semantics():
     # same as the reference's bopomofo() replacement cascade.
     out_p, _ = cje_cleaner("[P]kg[P]")
     assert out_p == "kʰk⁼"
+
+
+def test_ja_foreign_moras():
+    """Loanword small-vowel combos read as single moras (フォ -> ɸo, not
+    ɸɯo); ヴ carries /v/ (a valid symbol, reference keeps it too); no raw
+    kana ever leaks through the romaji stage."""
+    from vits_tpu.text.japanese import japanese_to_ipa
+
+    assert japanese_to_ipa("フォーク") == "ɸo↑okɯ"
+    assert japanese_to_ipa("チェック") == "tʃe↑k#kɯ"
+    assert japanese_to_ipa("ヴァイオリン") == "va↑ioɾiN"
+    assert japanese_to_ipa("ウィキ") == "wi↑ki"
+    assert japanese_to_ipa("一ヶ月") == "i↑k#ka↓getsɯ"
+    for word in ("デュエット", "ソフトウェア", "ファイル", "パーティー"):
+        out = japanese_to_ipa(word)
+        assert not any("ぁ" <= c <= "ゖ" or "ァ" <= c <= "ヶ" for c in out), (
+            word, out)
