@@ -180,7 +180,21 @@ def _lexicon_base(stem: str) -> str | None:
 
 def _word_to_ipa_fallback(word: str) -> str:
     ipa = _lexicon_lookup(word)
-    return ipa if ipa is not None else _letter_to_sound(word)
+    if ipa is not None:
+        return ipa
+    # OOV inflection: peel possessive / past endings so the suffix reads
+    # with the right allomorph instead of as spelled letters
+    if len(word) > 3 and (word.endswith("'s") or word.endswith("s'")):
+        base = _word_to_ipa_fallback(word[:-2])
+        return base + _plural_suffix(base)
+    if (len(word) >= 5 and word.endswith("ed")
+            and word[-3] not in "aeiouy"):
+        stem = word[:-2]
+        if len(stem) >= 3 and stem[-1] == stem[-2]:  # planned -> plan
+            stem = stem[:-1]
+        base = _letter_to_sound(stem + "e")  # magic-e fires where due
+        return base + _past_suffix(base)
+    return _letter_to_sound(word.replace("'", ""))
 
 
 def _lexicon_lookup(word: str) -> str | None:
@@ -211,7 +225,8 @@ def _lexicon_lookup(word: str) -> str | None:
         base = _LEXICON[word[:-3] + "y"]  # carried -> carry
         return base + "d"
     if word.endswith("ed"):
-        base = _lexicon_base(word[:-2]) or _lexicon_base(word[:-1])
+        # prefer the e-final base (hoped -> hope, not the shorter word hop)
+        base = _lexicon_base(word[:-1]) or _lexicon_base(word[:-2])
         if base is not None:
             return _derived(base, _past_suffix(base))
     if word.endswith("ing"):
@@ -223,7 +238,8 @@ def _lexicon_lookup(word: str) -> str | None:
         if base is not None:
             return _derived(base, "əst")
     if word.endswith("er"):
-        base = _lexicon_base(word[:-2]) or _lexicon_base(word[:-1])
+        # prefer the e-final base (diner -> dine, not the shorter word din)
+        base = _lexicon_base(word[:-1]) or _lexicon_base(word[:-2])
         if base is not None:
             return _derived(base, "ər")
     if word.endswith("or") and len(word) >= 6:
