@@ -36,6 +36,11 @@ def cje_cleaner(text: str):
     from vits_tpu.text.japanese import japanese_to_ipa
     from vits_tpu.text.mandarin import chinese_to_ipa, pinyin_to_ipa
 
+    # NOTE: str_replace maps apostrophes to spaces on the RAW input
+    # (reference cleaners.py:44) — aimed at ZH quote marks, but it also
+    # splits EN contractions ("can't" -> "kæn t") before g2p. Kept for
+    # byte-parity with the reference's input distribution; call
+    # english_to_ipa directly for apostrophe-aware transcription.
     text = str_replace(text).replace('"', "")
     original_text = text
 
