@@ -525,6 +525,11 @@ _PHRASE_DATA = """
 还款 huan2 kuan3
 偿还 chang2 huan2
 还原 huan2 yuan2
+还钱 huan2 qian2
+还书 huan2 shu1
+还债 huan2 zhai4
+还清 huan2 qing1
+还给 huan2 gei3
 音乐 yin1 yue4
 乐器 yue4 qi4
 乐队 yue4 dui4
