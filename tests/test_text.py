@@ -611,3 +611,18 @@ def test_ja_foreign_moras():
         out = japanese_to_ipa(word)
         assert not any("ぁ" <= c <= "ゖ" or "ァ" <= c <= "ヶ" for c in out), (
             word, out)
+
+
+def test_en_affix_composition():
+    """Affix layer composes one level: plural-of-derived, prefix+derived,
+    -or agent nouns; e-final bases beat embedded short words; OOV
+    possessive/past endings read with the right allomorph."""
+    from vits_tpu.text.english import _lexicon_lookup, _word_to_ipa_fallback
+
+    assert _lexicon_lookup("holders") == "ˈhoʊldərz"
+    assert _lexicon_lookup("unsupported") == "ənsəˈpɔrtɪd"
+    assert _lexicon_lookup("contributor") == "kənˈtrɪbjutər"
+    assert _lexicon_lookup("hoped") == "hoʊpt"      # hope, not hop
+    assert _lexicon_lookup("diner") == "ˈdaɪnər"    # dine, not din
+    assert _word_to_ipa_fallback("photographer's") == "fəˈtɑgrəfərz"
+    assert _word_to_ipa_fallback("glazed") == "gleɪzd"  # voiced -ed, not ɛd
