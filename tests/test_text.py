@@ -626,3 +626,23 @@ def test_en_affix_composition():
     assert _lexicon_lookup("diner") == "ˈdaɪnər"    # dine, not din
     assert _word_to_ipa_fallback("photographer's") == "fəˈtɑgrəfərz"
     assert _word_to_ipa_fallback("glazed") == "gleɪzd"  # voiced -ed, not ɛd
+
+
+def test_ja_sentence_goldens_round3():
+    """Pin full-pipeline readings for conversational/measurement sentences
+    (regression net for the round-3 lexicon batches)."""
+    from vits_tpu.text.cleaners import clean_text
+
+    cases = {
+        "[JA]すみません、駅はどこですか?[JA]":
+            "sɯ↑mimase↓N, e↓kiwa do↓kodesɯka?",
+        "[JA]ちょっと待ってください、すぐ戻ります。[JA]":
+            "tʃo↓t#to ma↑t#tekɯda↓sai, sɯ↓gɯ mo↑doɾi↓masɯ.",
+        "[JA]彼は25歳で、身長は180センチです。[JA]":
+            "ka↓ɾewa n^i↑dʑɯɯgosaide, ʃi↑n^tʃoowa ça↑kɯhatʃidʑɯɯsen^tʃidesɯ.",
+        "[JA]パスワードを入力してログインしてください。[JA]":
+            "pa↑sɯwa↓adoo n^ɯ↑ɯɾjokɯ ʃi↑te ɾo↑gɯi↓N ʃi↑tekɯdasai.",
+    }
+    for src, want in cases.items():
+        got, _ = clean_text(src)
+        assert got == want, (src, got, want)
