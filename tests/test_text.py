@@ -646,3 +646,15 @@ def test_ja_sentence_goldens_round3():
     for src, want in cases.items():
         got, _ = clean_text(src)
         assert got == want, (src, got, want)
+
+
+def test_ja_grouped_numbers_and_day_irregulars():
+    """Mixed arabic+万/億 numerals read as one numeral; X4日 keeps よっか."""
+    from vits_tpu.text.japanese import japanese_to_ipa as j
+
+    assert j("1万人") == "i↑tʃimann^iN"
+    assert j("1億2600万人") == "i↑tʃiokɯn^iseNɾop#pjakɯmann^iN"
+    assert j("1万5000円") == "i↑tʃimaŋgoseNeN"
+    assert j("14日") == "dʑɯ↑ɯjok#ka"
+    assert j("24日") == "n^i↑dʑɯɯjok#ka"
+    assert j("大丈夫です") == "da↑idʑo↓obɯdesɯ"

@@ -346,9 +346,14 @@ def _number_to_kana(digits: str) -> str:
     n = int(digits)
     if n == 0:
         return "ぜろ"
-    if n >= 10**8:  # read digit-by-digit beyond 億 range
+    if n >= 10**12:  # read digit-by-digit beyond 億 range
         return "".join(_NUM_KANA[int(d)] for d in digits)
     out = ""
+    oku, n = divmod(n, 10**8)
+    if oku:
+        out += (_number_to_kana(str(oku)) if oku > 1 else "いち") + "おく"
+        if n == 0:
+            return out
     man, rest = divmod(n, 10000)
     if man:
         out += (_number_to_kana(str(man)) if man > 1 else "いち") + "まん"
@@ -437,6 +442,9 @@ _H_TO_B = {"は": "ば", "ひ": "び", "ふ": "ぶ", "へ": "べ", "ほ": "ぼ"}
 def _counter_reading(digits: str, counter: str) -> str:
     if (digits, counter) in _COUNTER_IRREGULAR:
         return _COUNTER_IRREGULAR[(digits, counter)]
+    if counter == "日" and len(digits) > 1 and digits[-1] == "4":
+        # X4日 keeps the よっか irregular (14日 じゅうよっか, 24日 にじゅうよっか)
+        return _number_to_kana(digits[:-1] + "0") + "よっか"
     base = _COUNTERS[counter]
     num = _number_to_kana(digits)
     head = base[0]
@@ -460,6 +468,31 @@ def _counter_reading(digits: str, counter: str) -> str:
         if num.endswith("じゅう") and head in "かきくけこ":
             return num[:-3] + "じゅっ" + base
     return num + base
+
+
+def _parse_arabic_grouped(s: str, i: int) -> tuple[int | None, int]:
+    """Parse an arabic-digit numeral with 万/億 group kanji (1万, 2600万,
+    1億2600万, 1万5000). Returns (value, end) or (None, i) when no group
+    kanji participates (plain digit runs stay on the fast path)."""
+    j = i
+    total = 0
+    seen_group = False
+    while j < len(s) and s[j].isdigit():
+        k = j
+        while k < len(s) and s[k].isdigit():
+            k += 1
+        num = int(s[j:k])
+        if k < len(s) and s[k] in _KANJI_GROUP:
+            total += num * _KANJI_GROUP[s[k]]
+            j = k + 1
+            seen_group = True
+        else:
+            total += num
+            j = k
+            break
+    if not seen_group:
+        return None, i
+    return total, j
 
 
 def _is_kana(ch: str) -> bool:
@@ -532,6 +565,16 @@ def _segment(chunk: str) -> list[tuple[str, str, int | None]]:
             while j < n and chunk[j].isdigit():
                 j += 1
             digits = chunk[i:j]
+            # mixed arabic+group-kanji numerals (1万, 2600万, 1億2600万):
+            # absorb digit/万/億 alternations into one number token
+            val, jg = _parse_arabic_grouped(chunk, i)
+            if val is not None:
+                digits_g = str(val)
+                if (jg < n and chunk[jg] in _COUNTERS
+                        and chunk[jg] not in _KANJI_GROUP):
+                    relax(jg + 1, 1.0,
+                          ("num", _counter_reading(digits_g, chunk[jg]), None))
+                relax(jg, 1.1, ("num", _number_to_kana(digits_g), None))
             if j < n and chunk[j] in _COUNTERS and chunk[i:j + 1] not in _WORDS:
                 relax(j + 1, 1.0, ("num", _counter_reading(digits, chunk[j]), None))
             relax(j, 1.2, ("num", _number_to_kana(digits), None))
