@@ -27,7 +27,14 @@ _japanese_marks = re.compile(
     r"ａ-ｚｦ-ﾝ]"
 )
 
-_SYMBOLS_TO_JAPANESE = [(re.compile("％"), "パーセント")]
+_SYMBOLS_TO_JAPANESE = [
+    (re.compile("％"), "パーセント"),  # reference japanese.py:15-17
+    # beyond the reference: half-width %, ㌫, and decimal points would
+    # otherwise split the sentence at the marks regex and read wrong
+    (re.compile("%"), "パーセント"),
+    (re.compile("㌫"), "パーセント"),
+    (re.compile(r"(\d)\.(?=\d)"), r"\1てん"),
+]
 
 _ROMAJI_TO_IPA = [
     (re.compile(p), r)
@@ -565,6 +572,25 @@ def _segment(chunk: str) -> list[tuple[str, str, int | None]]:
             while j < n and chunk[j].isdigit():
                 j += 1
             digits = chunk[i:j]
+            # decimals arrive as Xてん Y (symbols_to_japanese rewrites the
+            # point); read the fraction part digit-by-digit as one token
+            if chunk[j:j + 2] == "てん" and j + 2 < n and chunk[j + 2].isdigit():
+                k = j + 2
+                while k < n and chunk[k].isdigit():
+                    k += 1
+                frac = "".join(_NUM_KANA[int(d)] for d in chunk[j + 2:k])
+                read = _number_to_kana(digits) + "てん" + frac
+                if k < n and chunk[k] in _COUNTERS:
+                    relax(k + 1, 0.9,
+                          ("num", read + _COUNTERS[chunk[k]], None))
+                relax(k, 1.0, ("num", read, None))
+            # fractions: 2分の1 -> にぶんのいち (not the 分 minutes counter)
+            if chunk[j:j + 2] == "分の" and j + 2 < n and chunk[j + 2].isdigit():
+                k = j + 2
+                while k < n and chunk[k].isdigit():
+                    k += 1
+                relax(k, 0.9, ("num", _number_to_kana(digits) + "ぶんの"
+                               + _number_to_kana(chunk[j + 2:k]), None))
             # mixed arabic+group-kanji numerals (1万, 2600万, 1億2600万):
             # absorb digit/万/億 alternations into one number token
             val, jg = _parse_arabic_grouped(chunk, i)
