@@ -658,3 +658,15 @@ def test_ja_grouped_numbers_and_day_irregulars():
     assert j("14日") == "dʑɯ↑ɯjok#ka"
     assert j("24日") == "n^i↑dʑɯɯjok#ka"
     assert j("大丈夫です") == "da↑idʑo↓obɯdesɯ"
+
+
+def test_ja_decimals_percent_fractions():
+    """Decimal points, %, and N分のM read as openjtalk would (the marks
+    regex used to split them out of the sentence entirely)."""
+    from vits_tpu.text.japanese import japanese_to_ipa as j
+
+    assert j("3.5キロ") == "sa↑nteŋgokiɾo"
+    assert j("50%") == j("50％") == "go↑dʑɯɯpaasento"
+    assert j("2分の1") == "n^i↑bɯnnoitʃi"
+    assert j("5分待って") == "go↑ɸɯN ma↓t#te"  # 分 minutes still ふん
+    assert j("テスト。次") == "te↓sɯto. tsɯ↑gi"  # 。still splits
