@@ -212,6 +212,24 @@ def main():
         model, params, 8, 64, 400, sr, hop
     )
 
+    # host-side text frontend (g2p) latency — part of real serving latency,
+    # reported separately so the RTF stays a pure decoder-path number
+    from vits_tpu.text.cleaners import clean_text
+
+    g2p_sents = [
+        "[ZH]今天天气很好,我们一起去公园散步吧。[ZH]",
+        "[JA]今日はいい天気ですね。散歩に行きましょう。[JA]",
+        "[EN]The weather is lovely today, let's take a walk.[EN]",
+    ]
+    for s in g2p_sents:
+        clean_text(s)  # warm jieba/caches outside the timed loop
+    t0 = time.perf_counter()
+    n_g2p = 10
+    for _ in range(n_g2p):
+        for s in g2p_sents:
+            clean_text(s)
+    g2p_ms = (time.perf_counter() - t0) / (n_g2p * len(g2p_sents)) * 1e3
+
     out = {
         "metric": "inference_rtf",
         "value": round(rtf_true, 3),
@@ -221,6 +239,7 @@ def main():
         "inference_rtf_pipelined": round(rtf_pipe, 3),
         "batched_rtf": round(batched_true, 3),
         "batched_rtf_pipelined": round(batched_pipe, 3),
+        "frontend_g2p_ms": round(g2p_ms, 2),
         "device": jax.devices()[0].device_kind,
     }
     if not os.environ.get("VITS_BENCH_SKIP_TRAIN"):
