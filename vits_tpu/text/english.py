@@ -307,6 +307,10 @@ def _letter_to_sound(word: str) -> str:
             out += "j" if i == 0 else ("i" if i == len(w) - 1 else "ɪ")
             i += 1
             continue
+        if w[i] == "a" and i == len(w) - 1 and i > 0:
+            out += "ə"  # word-final a is a schwa (sofa, data, NASA)
+            i += 1
+            continue
         for pat, rep in _LTS_RULES:
             if w.startswith(pat, i):
                 out += rep
