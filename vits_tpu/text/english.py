@@ -87,6 +87,7 @@ _VOICELESS_FINAL = tuple("ptkfθ")
 
 # ordered rule-based letter-to-sound rules (fallback path only)
 _LTS_RULES = [
+    ("ation", "eɪʃən"),
     ("tion", "ʃən"), ("sion", "ʒən"), ("ture", "ʧəɹ"), ("ought", "ɔt"),
     ("augh", "æf"), ("ough", "ʌf"), ("eigh", "eɪ"), ("igh", "aɪ"),
     ("tch", "ʧ"), ("dge", "ʤ"), ("nge", "nʤ"), ("ck", "k"),
@@ -95,7 +96,8 @@ _LTS_RULES = [
     ("ch", "ʧ"), ("th", "θ"), ("ng", "ŋ"), ("oo", "u"), ("ee", "i"),
     ("ea", "i"), ("ou", "aʊ"), ("ow", "oʊ"), ("oi", "ɔɪ"), ("oy", "ɔɪ"),
     ("ai", "eɪ"), ("ay", "eɪ"), ("au", "ɔ"), ("aw", "ɔ"), ("oa", "oʊ"),
-    ("ie", "i"), ("ue", "u"), ("ew", "u"), ("ar", "ɑɹ"), ("er", "əɹ"),
+    ("ie", "i"), ("ue", "u"), ("ew", "u"), ("eu", "u"),
+    ("ar", "ɑɹ"), ("er", "əɹ"),
     ("ir", "əɹ"), ("or", "ɔɹ"), ("ur", "əɹ"),
     ("a", "æ"), ("b", "b"), ("c", "k"), ("d", "d"), ("e", "ɛ"),
     ("f", "f"), ("g", "g"), ("h", "h"), ("i", "ɪ"), ("j", "ʤ"),
@@ -277,6 +279,11 @@ def _letter_to_sound(word: str) -> str:
     out = ""
     i = 0
     w = word
+    if w.startswith(("gn", "ps", "pn", "mn")) and len(w) > 3:
+        w = w[1:]  # silent initial letter (gnome, pseudo, pneumonia)
+    if w.endswith("ture") and len(w) > 4:
+        # handle before the magic-e strip would turn it into tUr -> tjur
+        return _letter_to_sound(w[:-4]) + "ʧəɹ"
     # silent final e lengthens the previous vowel (magic e: blaze -> bleɪz,
     # glide -> glaɪd); uppercase marks the long vowel for the rule table.
     # Keep the e after soft c/g so the dge/ce/ge rules fire (bridge, office)
@@ -311,6 +318,10 @@ def _letter_to_sound(word: str) -> str:
             out += "ə"  # word-final a is a schwa (sofa, data, NASA)
             i += 1
             continue
+        if w[i] == "o" and i == len(w) - 1 and i > 0:
+            out += "oʊ"  # word-final o is long (hero, photo, pseudo)
+            i += 1
+            continue
         for pat, rep in _LTS_RULES:
             if w.startswith(pat, i):
                 out += rep
@@ -319,7 +330,8 @@ def _letter_to_sound(word: str) -> str:
         else:
             out += w[i]
             i += 1
-    return out
+    # doubled consonant letters are one sound (umbrella, thrapple)
+    return re.sub(r"([bdfgklmnprstvz])\1", r"\1", out)
 
 
 def _text_to_ipa_backend(text: str) -> str:
