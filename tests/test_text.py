@@ -670,3 +670,16 @@ def test_ja_decimals_percent_fractions():
     assert j("2分の1") == "n^i↑bɯnnoitʃi"
     assert j("5分待って") == "go↑ɸɯN ma↓t#te"  # 分 minutes still ふん
     assert j("テスト。次") == "te↓sɯto. tsɯ↑gi"  # 。still splits
+
+
+def test_en_lts_digraphs_round3():
+    """LTS: silent initials, -ture/-ation suffixes, double consonants,
+    word-final a/o vowel qualities."""
+    from vits_tpu.text.english import _letter_to_sound as lts
+
+    assert lts("gnome") == "noʊm"
+    assert lts("pseudo") == "sudoʊ"
+    assert lts("umbrella") == "əmbrɛlə"
+    assert lts("clavture") == "klævʧəɹ"
+    assert lts("flibbertation") == "flɪbəɹteɪʃən"
+    assert lts("nasa") == "næsə"
