@@ -683,3 +683,19 @@ def test_en_lts_digraphs_round3():
     assert lts("clavture") == "klævʧəɹ"
     assert lts("flibbertation") == "flɪbəɹteɪʃən"
     assert lts("nasa") == "næsə"
+
+
+def test_t2s_table_matches_reference_hash():
+    """The traditional->simplified table is byte-identical to the
+    reference's 10,703-pair t2s_dict (char_convert.py:15-37): the sha256 of
+    the sorted key+value stream was computed from the reference in-situ."""
+    import hashlib
+
+    from vits_tpu.text.char_convert import T2S
+
+    assert len(T2S) == 10703
+    h = hashlib.sha256(
+        "".join(f"{k}{v}" for k, v in sorted(T2S.items())).encode()
+    ).hexdigest()
+    assert h == ("a540ce05a2d16d325ab3a7672eec8e1b"
+                 "980649badd7ea382ba6f2bc2c8a706ca")
