@@ -82,3 +82,24 @@ def test_split_word_two_parts():
 def test_cross_word():
     out = cross_word_third_tone([["wo3"], ["hen3", "hao3"]])
     assert out == [["wo2"], ["hen3", "hao3"]]
+
+
+def test_reference_differential_fixture():
+    """177 (word, pos) sandhi decisions from a 59-sentence stress corpus
+    byte-match the reference ToneSandhi (reference
+    text/frontend/tone_sandhi.py, executed in-situ offline with pypinyin
+    stubbed by this repo's own word-level pinyin — only tone digits feed
+    the sandhi logic)."""
+    import json
+    import os
+
+    from vits_tpu.text.tone_sandhi import modified_tone
+    from vits_tpu.text.zh_frontend import word_to_pinyin
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures", "tone_sandhi_differential.json")
+    for row in json.load(open(path)):
+        sylls = [s for s in word_to_pinyin(row["word"]) if s]
+        out = modified_tone(row["word"], row["pos"], sylls)
+        tones = [s[-1] if s[-1].isdigit() else "5" for s in out]
+        assert tones == row["tones"], (row, tones)
