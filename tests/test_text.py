@@ -699,3 +699,18 @@ def test_t2s_table_matches_reference_hash():
     ).hexdigest()
     assert h == ("a540ce05a2d16d325ab3a7672eec8e1b"
                  "980649badd7ea382ba6f2bc2c8a706ca")
+
+
+def test_pinyin_ipa_differential_fixture():
+    """38 tone-numbered pinyin inputs (yoon/ü/retroflex/erhua/%-$ marks)
+    byte-match the reference's pinyin_to_ipa (reference mandarin.py:126-130
+    + paddle_zh.py bopomofo tables, executed in-situ offline)."""
+    import json
+    import os
+
+    from vits_tpu.text.mandarin import pinyin_to_ipa
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures", "pinyin_ipa_differential.json")
+    for row in json.load(open(path)):
+        assert pinyin_to_ipa(row["pinyin"]) == row["ipa"], row
