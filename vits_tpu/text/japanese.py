@@ -170,7 +170,8 @@ for _surf, (_read, _acc) in _BASE_WORDS.items():
 _GODAN_STEM = {"う": "い", "く": "き", "ぐ": "ぎ", "す": "し", "つ": "ち",
                "ぬ": "に", "ぶ": "び", "む": "み", "る": "り"}
 _IE_ROW = set("いきしちにひみりぎじびぴえけせてねへめれげぜべぺ")
-_POLITE = (("ます", 2), ("ません", 1), ("ました", 2), ("ましょう", 1))
+_POLITE = (("ます", 2), ("ません", 1), ("ました", 2), ("ましょう", 1),
+           ("まして", 2))
 
 
 def _polite_add(surf_stem: str, read_stem: str) -> None:
@@ -183,12 +184,27 @@ def _polite_add(surf_stem: str, read_stem: str) -> None:
         _WORDS[_key] = (_r, _moras - _back)
 
 
-for _surf, (_read, _acc) in list(_WORDS.items()):
-    if _surf.endswith("ます") and _read.endswith("ます"):
+def _is_polite_masu(surf: str, read: str) -> bool:
+    """~ます is the polite auxiliary (follows an i-row connective stem:
+    あいます, ございます) — not a dictionary す-verb (励ます, 冷ます, whose
+    reading has a non-i-row kana before ます). Only the former may feed
+    the polite paradigm; the latter inflects as a regular godan verb."""
+    return (surf.endswith("ます") and read.endswith("ます")
+            and len(read) >= 3 and read[-3] in _IE_ROW)
+
+
+# Derivation passes run over ONE snapshot (base + i-adjective paradigm):
+# deriving from already-derived forms manufactures junk (していましょう is
+# not a godan う-verb; おはようございます is not a す-verb to conjugate).
+_DERIVE_BASE = list(_WORDS.items())
+
+for _surf, (_read, _acc) in _DERIVE_BASE:
+    if _is_polite_masu(_surf, _read):
         _polite_add(_surf[:-2], _read[:-2])
     elif (len(_surf) >= 2 and len(_read) >= 2
           and _surf[-1] in _GODAN_STEM and _read[-1] == _surf[-1]
-          and not _surf.endswith("ない")):
+          and not _surf.endswith("ない")
+          and not _surf.endswith("ょう")):  # ~ましょう/~でしょう volitional
         if _surf[-1] == "る" and _read[-2] in _IE_ROW:
             _polite_add(_surf[:-1], _read[:-1])  # ichidan: drop る
         else:
@@ -248,10 +264,12 @@ def _tai_forms_add(surf_istem, read_istem, acc):
         _plain_add(surf_istem + _sfx, _r, _a)
 
 
-for _surf, (_read, _acc) in list(_WORDS.items()):
+for _surf, (_read, _acc) in _DERIVE_BASE:
     if (len(_surf) >= 2 and len(_read) >= 2
             and _surf[-1] in _GODAN_STEM and _read[-1] == _surf[-1]
-            and not _surf.endswith("ない") and not _surf.endswith("たい")):
+            and not _surf.endswith("ない") and not _surf.endswith("たい")
+            and not _surf.endswith("ょう")
+            and not _is_polite_masu(_surf, _read)):
         if _surf[-1] == "る" and _read[-2] in _IE_ROW:
             # ichidan: 食べる -> 食べて/食べた/食べない/食べたい; stem 食べ;
             # potential/passive 食べられる (+ its own て/polite forms)
@@ -304,10 +322,25 @@ for _surf, (_read, _acc) in list(_WORDS.items()):
             _polite_add(_pas_s, _pas_r)
             _verb_forms_add(_pas_s, _pas_r, "て", "", _psa)
 
+# て/で + い-initial subsidiary verb inside a lexicon reading (している,
+# 知っている, 住んでいる and their derived forms): mark the morpheme
+# boundary so the ei->ee long-vowel merge cannot fire across it. The
+# [っんし] guard restricts the rewrite to te-form composites — a
+# Sino-Japanese てい sequence (提供 ていきょう, 定期 ていき) never follows
+# っ/ん/し-て and keeps its merge. "|" is stripped from the romaji output.
+_TE_I_COMPOSITE = re.compile(
+    r"([っんし][てで])(い(?:る|れば|ます|まし|ませ|た|て|な|き|く|ただ|らっしゃ))"
+)
+for _surf in list(_WORDS):
+    _read, _acc = _WORDS[_surf]
+    _new = _TE_I_COMPOSITE.sub(r"\1|\2", _read)
+    if _new != _read:
+        _WORDS[_surf] = (_new, _acc)
+
 _READING_ACCENT: dict[str, int] = {}
 for _surf, (_read, _acc) in _WORDS.items():
     if _acc is not None:
-        _READING_ACCENT.setdefault(_read, _acc)
+        _READING_ACCENT.setdefault(_read.replace("|", ""), _acc)
 
 # particles / auxiliaries that attach to the preceding accent phrase.
 # Topic は reads わ, direction へ reads え, object を reads お — the openjtalk
@@ -644,6 +677,15 @@ def _segment(chunk: str) -> list[tuple[str, str, int | None]]:
     return merged
 
 
+# て/で + い-initial subsidiary verb inside a raw kana run (ている/ていく/
+# ていただく/...): a morpheme boundary the long-vowel rules must not merge
+# across. Sino-Japanese てい words (ていど, ていねい) continue with moras
+# outside this set and keep the merge.
+_TE_I_BOUNDARY = re.compile(
+    r"([てで])(い(?:る|れば|ます|まし|ませ|た|て|な|き(?![ゃゅょ])|く|ただ|らっしゃ))"
+)
+
+
 def _assemble_phrases(
     tokens: list[tuple[str, str, int | None]]
 ) -> list[tuple[str, int]]:
@@ -674,6 +716,12 @@ def _assemble_phrases(
     for kind, read, acc in tokens:
         if not read:
             continue
+        if kind == "kana":
+            # raw inflection tails: mark the て/で|auxiliary morpheme
+            # boundary so the ei->ee long-vowel merge (Sino-Japanese
+            # morpheme-internal, 経済 -> keezai) does not fire across it
+            # (しています must stay "shiteimasu", ていただけます "teitadake")
+            read = _TE_I_BOUNDARY.sub(r"\1|\2", read)
         if kind == "attach" and cur:
             cur += read
         elif kind == "kanji" and cur and prev_kind in ("word", "kanji", "num"):
@@ -682,7 +730,7 @@ def _assemble_phrases(
             cur += read  # okurigana / inflection tail
         elif (kind == "word" and cur and cur.endswith(("て", "で"))
               and read in _TE_AUX):
-            cur += read  # te-form + auxiliary verb: one accent phrase
+            cur += "|" + read  # te-form + auxiliary verb: one accent phrase
         else:
             flush()
             cur, cur_acc = read, acc
@@ -709,6 +757,8 @@ def _mora_to_romaji(mora: str, out_so_far: str) -> str:
     """One mora -> romaji, context-sensitive for long vowels (accent arrows
     are transparent to the vowel context)."""
     ctx = out_so_far.replace("↑", "").replace("↓", "")
+    if mora == "|":
+        return "|"  # morpheme boundary: blocks the long-vowel context
     if mora in _KANA_YOON:
         return _KANA_YOON[mora]
     if mora == "っ":
@@ -733,7 +783,7 @@ def _kana_to_romaji(text: str, accent: bool = False) -> str:
         out = ""
         for mora in moras:
             out += _mora_to_romaji(mora, out)
-        return out
+        return out.replace("|", "")
     nucleus = _READING_ACCENT.get(text, 0)
     return _phrase_to_romaji(text, nucleus)
 
@@ -742,16 +792,22 @@ def _phrase_to_romaji(kana: str, nucleus: int) -> str:
     """One accent phrase (reading in hiragana) -> romaji with ↑/↓ arrows per
     the module docstring rules."""
     moras = _kana_moras(kana)
+    n_moras = sum(1 for m in moras if m != "|")
     out = ""
-    for idx, mora in enumerate(moras, start=1):
+    idx = 0
+    for mora in moras:
+        if mora == "|":
+            out += "|"  # boundary sentinel: not a mora, stripped below
+            continue
+        idx += 1
         out += _mora_to_romaji(mora, out)
-        if idx >= len(moras):
+        if idx >= n_moras:
             continue  # phrase-final: no following mora, no audible arrow
         if nucleus == idx:
             out += "↓"
         elif idx == 1 and nucleus != 1:
             out += "↑"
-    return out
+    return out.replace("|", "")
 
 
 def _fallback_sentence_to_romaji(sentence: str) -> str:
