@@ -714,3 +714,38 @@ def test_pinyin_ipa_differential_fixture():
                         "fixtures", "pinyin_ipa_differential.json")
     for row in json.load(open(path)):
         assert pinyin_to_ipa(row["pinyin"]) == row["ipa"], row
+
+
+def test_ja_te_i_morpheme_boundary():
+    """ei->ee long-vowel merge is Sino-Japanese morpheme-internal (経済 ->
+    keezai, 程度 -> teedo) and must NOT fire across a te-form + subsidiary
+    verb boundary (しています -> shiteimasu, ていただけます -> teitadake)."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    assert jro("日本語を勉強しています") == "ni↑hoNgoo be↑Nkyoo ʃi↑teima↓su"
+    assert (jro("駅までの道を教えていただけますか")
+            == "e↓kimadeno mi↑ʧio o↑ʃieteitadakemasuka")
+    assert jro("彼は東京に住んでいる") == "ka↓rewa to↑okyooni su↓Ndeiru"
+    assert jro("毎日走っています") == "ma↓iniʧi ha↑ʃi↓Qteimasu"
+    # merge preserved inside Sino-Japanese morphemes
+    assert jro("経済の程度を提供している") == "ke↓ezaino te↓edoo te↑ekyoo ʃi↑teiru"
+
+
+def test_ja_derivation_no_junk_cascade():
+    """Derivation passes run over the base snapshot only: polite/volitional
+    forms must not be re-conjugated as godan verbs (していましょわれる etc.),
+    and the polite auxiliary ます (i-row connective) is distinguished from
+    dictionary す-verbs ending ます (励ます), which inflect regularly."""
+    from vits_tpu.text.japanese import _WORDS
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    for k in _WORDS:
+        assert "ましょい" not in k and "ましょわ" not in k, k
+    # polite ました must not grow the たい paradigm (real す-verbs like
+    # 冷ます legitimately derive 冷ましたかった via their し-stem)
+    for junk in ("していましたかった", "おはようございましたい",
+                 "ありましたくない", "出ましたかった"):
+        assert junk not in _WORDS, junk
+    # legitimate まして continuative survives (regenerated by _POLITE)
+    assert jro("会議がありまして") == "ka↓igiga a↑rima↓ʃite"
+    assert jro("友達を励ましてくれた") == "to↑modaʧio ha↑gema↓ʃite ku↑reta"

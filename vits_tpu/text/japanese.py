@@ -169,7 +169,7 @@ for _surf, (_read, _acc) in _BASE_WORDS.items():
 # moras-2 / moras-1 / moras-2 / moras-1 counted on the derived reading.
 _GODAN_STEM = {"う": "い", "く": "き", "ぐ": "ぎ", "す": "し", "つ": "ち",
                "ぬ": "に", "ぶ": "び", "む": "み", "る": "り"}
-_IE_ROW = set("いきしちにひみりぎじびぴえけせてねへめれげぜべぺ")
+_IE_ROW = set("いきしちにひみりぎじびぴえけせてねへめれげぜべぺで")
 _POLITE = (("ます", 2), ("ません", 1), ("ました", 2), ("ましょう", 1),
            ("まして", 2))
 
