@@ -731,6 +731,12 @@ def _assemble_phrases(
         elif (kind == "word" and cur and cur.endswith(("て", "で"))
               and read in _TE_AUX):
             cur += "|" + read  # te-form + auxiliary verb: one accent phrase
+        elif (kind in ("word", "kanji") and cur in ("お", "ご")
+              and prev_kind == "kana"):
+            # honorific prefix: お名前/ご連絡 form one accent phrase; the
+            # prefix adds one mora before the word's nucleus
+            cur += read
+            cur_acc = (acc + 1 if acc else acc) if acc is not None else None
         else:
             flush()
             cur, cur_acc = read, acc
