@@ -749,3 +749,19 @@ def test_ja_derivation_no_junk_cascade():
     # legitimate まして continuative survives (regenerated by _POLITE)
     assert jro("会議がありまして") == "ka↓igiga a↑rima↓ʃite"
     assert jro("友達を励ましてくれた") == "to↑modaʧio ha↑gema↓ʃite ku↑reta"
+
+
+def test_en_compound_split():
+    """OOV closed compounds of two lexicon words read with the regular
+    compound-stress pattern (primary on the first element), instead of
+    falling through to unstressed letter-to-sound."""
+    from vits_tpu.text.english import _lexicon_lookup
+
+    assert _lexicon_lookup("seashell") == "ˈsiˌʃɛl"
+    assert _lexicon_lookup("seashells") == "ˈsiˌʃɛlz"  # + plural allomorph
+    assert _lexicon_lookup("raincoat") == "ˈreɪnˌkoʊt"
+    assert _lexicon_lookup("toothbrush") == "ˈtuθˌbrəʃ"
+    assert _lexicon_lookup("filename") == "ˈfaɪlˌneɪm"
+    # explicit dictionary entries still win over the split
+    from vits_tpu.text.en_dict import WORDS
+    assert _lexicon_lookup("bedroom") == WORDS["bedroom"]

@@ -271,6 +271,16 @@ def _lexicon_lookup(word: str) -> str | None:
                 hit = _lexicon_lookup(rest)
             if hit is not None:
                 return ipa + hit
+    # closed compound of two lexicon words (seashell, sunlight, raincoat):
+    # primary stress on the first element, secondary on the second —
+    # the regular English compound-stress pattern
+    if len(word) >= 7:
+        for cut in range(3, len(word) - 2):
+            a, b = word[:cut], word[cut:]
+            if a in _LEXICON and b in _LEXICON:
+                ipa_a = _LEXICON[a].replace("ˈ", "").replace("ˌ", "")
+                ipa_b = _LEXICON[b].replace("ˈ", "").replace("ˌ", "")
+                return "ˈ" + ipa_a + "ˌ" + ipa_b
     return None
 
 
