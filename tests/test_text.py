@@ -765,3 +765,12 @@ def test_en_compound_split():
     # explicit dictionary entries still win over the split
     from vits_tpu.text.en_dict import WORDS
     assert _lexicon_lookup("bedroom") == WORDS["bedroom"]
+
+
+def test_ja_latin_letters_read_as_letter_names():
+    """A-Z runs in [JA] text read as Japanese letter names (the OpenJTalk
+    behavior); they previously leaked raw letters the symbol filter dropped."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    assert jro("NHKのニュース") == "e↑nueeʧikeeno nyu↓usu"
+    assert "aitii" in jro("IT企業").replace("↑", "").replace("↓", "")

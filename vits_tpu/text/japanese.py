@@ -816,12 +816,30 @@ def _phrase_to_romaji(kana: str, nucleus: int) -> str:
     return out.replace("|", "")
 
 
+# latin letters read as Japanese letter names (OpenJTalk reads "ABC" as
+# エービーシー; without this the fallback leaked raw A-Z into the IPA
+# stream, where the symbol filter silently dropped them)
+_LATIN_KANA = {
+    "A": "エー", "B": "ビー", "C": "シー", "D": "ディー", "E": "イー",
+    "F": "エフ", "G": "ジー", "H": "エイチ", "I": "アイ", "J": "ジェー",
+    "K": "ケー", "L": "エル", "M": "エム", "N": "エヌ", "O": "オー",
+    "P": "ピー", "Q": "キュー", "R": "アール", "S": "エス", "T": "ティー",
+    "U": "ユー", "V": "ブイ", "W": "ダブリュー", "X": "エックス",
+    "Y": "ワイ", "Z": "ゼット",
+}
+_LATIN_RUN = re.compile(r"[A-Za-z]+")
+
+
 def _fallback_sentence_to_romaji(sentence: str) -> str:
     """Mixed kanji/kana/digit text -> accent-phrase romaji, the openjtalk
     role (reference japanese.py:58-108) realized from the vendored lexicon:
     segment (kanji_dict longest-match DP), group into accent phrases,
     read particles (は->わ, へ->え, を->お) and numbers, emit arrows.
     Accent phrases are space-separated, as the full-context path does."""
+    sentence = _LATIN_RUN.sub(
+        lambda m: "".join(_LATIN_KANA[c] for c in m.group(0).upper()),
+        sentence,
+    )
     phrases = _assemble_phrases(_segment(sentence))
     return " ".join(
         _phrase_to_romaji(kana, nucleus) for kana, nucleus in phrases
