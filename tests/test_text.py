@@ -774,3 +774,21 @@ def test_ja_latin_letters_read_as_letter_names():
 
     assert jro("NHKのニュース") == "e↑nueeʧikeeno nyu↓usu"
     assert "aitii" in jro("IT企業").replace("↑", "").replace("↓", "")
+
+
+def test_ja_multichar_counters_and_zero_codes():
+    """時間/週間/年間/か月 counters win over single-char splits (2時間 is
+    にじかん, not 2時+間あいだ); leading-zero digit groups read digit-wise
+    (03 -> ぜろさん), as openjtalk does for code-like numbers."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert "nijikaN" in plain("2時間待った")
+    assert "saNʃuukaN" in plain("3週間の休み")
+    assert "goneNkaN" in plain("5年間")
+    assert "saNkagetsu" in plain("3か月")
+    assert "haʧijihaN" in plain("8時半に")
+    assert "yojikaN" in plain("4時間")          # 4時間 irregular よじかん
+    assert plain("03") == "zerosaN"             # leading zero digit-wise

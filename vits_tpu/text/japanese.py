@@ -383,6 +383,10 @@ _NUM_SEN = {3: "さんぜん", 8: "はっせん"}
 
 
 def _number_to_kana(digits: str) -> str:
+    if len(digits) > 1 and digits[0] == "0":
+        # leading zero marks a code-like number (03 area code, 007):
+        # read digit-by-digit, as openjtalk does
+        return "".join(_NUM_KANA[int(d)] for d in digits)
     n = int(digits)
     if n == 0:
         return "ぜろ"
@@ -465,10 +469,21 @@ _COUNTERS = {
     "席": "せき", "位": "い", "勝": "しょう", "敗": "はい",
     "倍": "ばい", "割": "わり", "票": "ひょう", "歩": "ほ",
 }
+# multi-char counters (longest match wins over the single-char table:
+# 2時間 is に+じかん, not [2時][間あいだ])
+_COUNTERS2 = {
+    "時間": "じかん", "年間": "ねんかん", "週間": "しゅうかん",
+    "日間": "にちかん", "分間": "ふんかん", "か月": "かげつ",
+    "ヶ月": "かげつ", "カ月": "かげつ", "年生": "ねんせい",
+    "人前": "にんまえ", "時半": "じはん",
+}
 _COUNTER_IRREGULAR = {
     ("1", "人"): "ひとり", ("2", "人"): "ふたり", ("4", "人"): "よにん",
     ("4", "時"): "よじ", ("9", "時"): "くじ", ("4", "年"): "よねん",
     ("7", "時"): "しちじ", ("1", "日"): "ついたち", ("2", "日"): "ふつか",
+    ("4", "時間"): "よじかん", ("9", "時間"): "くじかん",
+    ("7", "時間"): "しちじかん", ("4", "時半"): "よじはん",
+    ("9", "時半"): "くじはん", ("7", "時半"): "しちじはん",
     ("3", "日"): "みっか", ("4", "日"): "よっか", ("5", "日"): "いつか",
     ("6", "日"): "むいか", ("7", "日"): "なのか", ("8", "日"): "ようか",
     ("9", "日"): "ここのか", ("10", "日"): "とおか", ("20", "日"): "はつか",
@@ -485,7 +500,7 @@ def _counter_reading(digits: str, counter: str) -> str:
     if counter == "日" and len(digits) > 1 and digits[-1] == "4":
         # X4日 keeps the よっか irregular (14日 じゅうよっか, 24日 にじゅうよっか)
         return _number_to_kana(digits[:-1] + "0") + "よっか"
-    base = _COUNTERS[counter]
+    base = _COUNTERS.get(counter) or _COUNTERS2[counter]
     num = _number_to_kana(digits)
     head = base[0]
     if head in _H_TO_P:  # h-row counters: 1/6/8/10 geminate+p, 3/ん voice
@@ -634,6 +649,9 @@ def _segment(chunk: str) -> list[tuple[str, str, int | None]]:
                     relax(jg + 1, 1.0,
                           ("num", _counter_reading(digits_g, chunk[jg]), None))
                 relax(jg, 1.1, ("num", _number_to_kana(digits_g), None))
+            if chunk[j:j + 2] in _COUNTERS2 and chunk[i:j + 2] not in _WORDS:
+                relax(j + 2, 0.95,
+                      ("num", _counter_reading(digits, chunk[j:j + 2]), None))
             if j < n and chunk[j] in _COUNTERS and chunk[i:j + 1] not in _WORDS:
                 relax(j + 1, 1.0, ("num", _counter_reading(digits, chunk[j]), None))
             relax(j, 1.2, ("num", _number_to_kana(digits), None))
@@ -641,6 +659,9 @@ def _segment(chunk: str) -> list[tuple[str, str, int | None]]:
             val, j = _parse_kanji_number(chunk, i)
             if val is not None and j > i:
                 digits = str(val)
+                if chunk[j:j + 2] in _COUNTERS2 and chunk[i:j + 2] not in _WORDS:
+                    relax(j + 2, 0.95,
+                          ("num", _counter_reading(digits, chunk[j:j + 2]), None))
                 if (j < n and chunk[j] in _COUNTERS
                         and chunk[i:j + 1] not in _WORDS):
                     relax(j + 1, 1.0,
