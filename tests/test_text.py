@@ -792,3 +792,37 @@ def test_ja_multichar_counters_and_zero_codes():
     assert "haʧijihaN" in plain("8時半に")
     assert "yojikaN" in plain("4時間")          # 4時間 irregular よじかん
     assert plain("03") == "zerosaN"             # leading zero digit-wise
+
+
+def test_ja_counter_han_and_you_auxiliaries():
+    """Counter+半 reads はん as part of the numeral phrase (二時間半 ->
+    にじかんはん); よう-auxiliaries attach whole (ように must not split into
+    particle よ + raw うに); されて+います keeps the te-form morpheme
+    boundary (sareteimasu, never the Sino ei->ee merge)."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert "nijikaNhaN" in plain("二時間半かかります")
+    assert "kakarimasu" in plain("二時間半かかります")
+    assert "saNneNhaN" in plain("三年半住んだ")
+    assert "yooni" in plain("食べるようにしています")
+    assert "sareteimasu" in plain("改善されています")
+    assert "sareteiru" in plain("使用されている")
+
+
+def test_ja_round3_word_batch7():
+    """Common words the 20-sentence probe surfaced as per-char misreads:
+    北海道, 一生懸命, 評判, 江戸+時代, 聴く conjugations, かかる."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert "hoQkaidoo" in plain("北海道へ行く")
+    assert "iQʃookeNmee" in plain("一生懸命勉強する")
+    assert "hyoobaN" in plain("評判がいい")
+    assert "edo jidai" in plain("江戸時代")
+    assert "kikinagara" in plain("音楽を聴きながら")
+    assert "kakarimaʃita" in plain("三時間かかりました")

@@ -363,11 +363,17 @@ _ATTACH = {
     "ですね": "ですね", "ですよ": "ですよ", "ですか": "ですか",
     "なさい": "なさい",
     # する-passive auxiliaries (審議される etc. — される must not split
-    # into さ+れる across an accent-phrase boundary)
+    # into さ+れる across an accent-phrase boundary). されて+い carries the
+    # morpheme-boundary sentinel so the ei->ee merge cannot fire across it
+    # (されています must read sareteimasu, not sareteemasu).
     "される": "される", "されます": "されます",
     "されました": "されました", "された": "された", "されて": "されて",
-    "されている": "されている", "されています": "されています",
+    "されている": "されて|いる", "されています": "されて|います",
     "されない": "されない", "されません": "されません",
+    # よう-auxiliaries (V-るように, N-のようです): without these the DP
+    # splits よ|うに because bare よ is a particle, reading "yo u ni"
+    "ように": "ように", "ような": "ような", "ようで": "ようで",
+    "ようです": "ようです", "ようだ": "ようだ", "ようだった": "ようだった",
 }
 
 _MAX_SURFACE = max(
@@ -652,8 +658,16 @@ def _segment(chunk: str) -> list[tuple[str, str, int | None]]:
             if chunk[j:j + 2] in _COUNTERS2 and chunk[i:j + 2] not in _WORDS:
                 relax(j + 2, 0.95,
                       ("num", _counter_reading(digits, chunk[j:j + 2]), None))
+                if chunk[j + 2:j + 3] == "半":  # 2時間半 -> にじかんはん
+                    relax(j + 3, 0.93,
+                          ("num", _counter_reading(digits, chunk[j:j + 2])
+                           + "はん", None))
             if j < n and chunk[j] in _COUNTERS and chunk[i:j + 1] not in _WORDS:
                 relax(j + 1, 1.0, ("num", _counter_reading(digits, chunk[j]), None))
+                if chunk[j + 1:j + 2] == "半":  # 3年半 -> さんねんはん
+                    relax(j + 2, 0.98,
+                          ("num", _counter_reading(digits, chunk[j])
+                           + "はん", None))
             relax(j, 1.2, ("num", _number_to_kana(digits), None))
         elif _is_kanji(ch):
             val, j = _parse_kanji_number(chunk, i)
@@ -662,10 +676,18 @@ def _segment(chunk: str) -> list[tuple[str, str, int | None]]:
                 if chunk[j:j + 2] in _COUNTERS2 and chunk[i:j + 2] not in _WORDS:
                     relax(j + 2, 0.95,
                           ("num", _counter_reading(digits, chunk[j:j + 2]), None))
+                    if chunk[j + 2:j + 3] == "半":  # 二時間半
+                        relax(j + 3, 0.93,
+                              ("num", _counter_reading(digits, chunk[j:j + 2])
+                               + "はん", None))
                 if (j < n and chunk[j] in _COUNTERS
                         and chunk[i:j + 1] not in _WORDS):
                     relax(j + 1, 1.0,
                           ("num", _counter_reading(digits, chunk[j]), None))
+                    if chunk[j + 1:j + 2] == "半":  # 三年半
+                        relax(j + 2, 0.98,
+                              ("num", _counter_reading(digits, chunk[j])
+                               + "はん", None))
                 relax(j, 1.2, ("num", _number_to_kana(digits), None))
             if ch in _CHAR_READINGS:
                 relax(i + 1, 1.8, ("kanji", _CHAR_READINGS[ch], None))
