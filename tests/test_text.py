@@ -826,3 +826,26 @@ def test_ja_round3_word_batch7():
     assert "edo jidai" in plain("江戸時代")
     assert "kikinagara" in plain("音楽を聴きながら")
     assert "kakarimaʃita" in plain("三時間かかりました")
+
+
+def test_ja_round3_word_batch8_and_reduplication():
+    """News-register suru-nouns (延期/欠航/中止 were per-char misreads:
+    the okurigana guard correctly blocks kana words after unknown kanji,
+    so the noun itself must be in the lexicon); generic 々 repeats the
+    previous kanji's reading; rendaku pairs have explicit entries; こと
+    is a word so topic は after it reads わ."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert "keQkooni" in plain("欠航になりました")
+    assert "eNki ʃimaʃita" in plain("延期しました")
+    assert "ʧuuʃini" in plain("中止になりました")
+    assert "mikomidesu" in plain("見込みです")
+    assert "kumori noʧi ame" in plain("曇りのち雨")
+    assert "ʃokugoni" in plain("食後に")
+    assert "neNneN" in plain("年々増加")
+    assert "kotowa" in plain("守ることは重要です")
+    assert "yamayama" in plain("山々")        # generic 々 reduplication
+    assert "samazama" in plain("様々な")      # rendaku entry wins

@@ -691,6 +691,11 @@ def _segment(chunk: str) -> list[tuple[str, str, int | None]]:
                 relax(j, 1.2, ("num", _number_to_kana(digits), None))
             if ch in _CHAR_READINGS:
                 relax(i + 1, 1.8, ("kanji", _CHAR_READINGS[ch], None))
+            elif ch == "々" and i > 0 and _is_kanji(chunk[i - 1]):
+                # generic reduplication: repeat the previous kanji's reading
+                # (rendaku'd common pairs have explicit word entries)
+                rd = _CHAR_READINGS.get(chunk[i - 1], "")
+                relax(i + 1, 2.0 if rd else 3.0, ("kanji", rd, None))
             else:
                 relax(i + 1, 3.0, ("kanji", "", None))
         elif _is_kana(ch):
