@@ -849,3 +849,13 @@ def test_ja_round3_word_batch8_and_reduplication():
     assert "kotowa" in plain("守ることは重要です")
     assert "yamayama" in plain("山々")        # generic 々 reduplication
     assert "samazama" in plain("様々な")      # rendaku entry wins
+
+
+def test_zh_di_default_and_neutral_aware_merge():
+    """地 defaults to di4 (地铁站 was de5 tie3 zhan4); the 3-3 pre-merge is
+    lexical-neutral-aware like the reference's neutral_tone_with_five
+    (箱子+很 must not merge: zi reads neutral, leaving 子 word-final), while
+    genuine all-third merges (水果很/理想很, fixture-pinned) still fire."""
+    assert hanzi_to_pinyin("地铁站") == "di4 tie3 zhan4"
+    assert hanzi_to_pinyin("这个箱子很重") == "zhe4 ge5#xiang1 zi5#hen3#zhong4"
+    assert hanzi_to_pinyin("水果很便宜") == "shui2 guo2 hen3#pian2 yi5"

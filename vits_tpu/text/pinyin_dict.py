@@ -27,7 +27,7 @@ import re
 
 _CHAR_DATA = """
 一yi1 是shi4 人ren2 了le5 不bu4 在zai4 有you3 大da4 中zhong1 国guo2 和he2
-为wei4 这zhe4 上shang4 他ta1 个ge4 地de5 年nian2 来lai2 我wo3 会hui4 以yi3
+为wei4 这zhe4 上shang4 他ta1 个ge4 地di4 年nian2 来lai2 我wo3 会hui4 以yi3
 到dao4 时shi2 要yao4 出chu1 的de5 生sheng1 学xue2 说shuo1 道dao4 民min2
 家jia1 子zi3 也ye3 成cheng2 行xing2 下xia4 们men5 于yu2 后hou4 就jiu4 发fa1
 自zi4 之zhi1 对dui4 得de2 主zhu3 长chang2 可ke3 过guo4 天tian1 作zuo4

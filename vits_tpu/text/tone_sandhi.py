@@ -292,7 +292,17 @@ def _merge_three_tones(
 ) -> list[tuple[str, str]]:
     """Join neighbours when 3-3 crosses their boundary: full-word all-third
     (boundary_only=False) or just last/first syllable (True)."""
-    sylls = [word_to_pinyin(w) for w, _ in seg]
+    # lexical-neutral-aware readings, mirroring the reference's
+    # lazy_pinyin(..., neutral_tone_with_five=True): 箱子 reads xiang1 zi5,
+    # so zi does NOT count as a third tone at the boundary and 箱子+很
+    # stays unmerged (keeping 子 word-final for the neutral rule)
+    def _neutral_aware(w: str, p: str) -> list[str]:
+        s = word_to_pinyin(w)
+        if s and len(s) == len(w):
+            return neutral_tone(w, s, p)
+        return s
+
+    sylls = [_neutral_aware(w, p) for w, p in seg]
     out: list[list[str]] = []
     merged_last = [False] * len(seg)
     for i, (word, pos) in enumerate(seg):
