@@ -859,3 +859,22 @@ def test_zh_di_default_and_neutral_aware_merge():
     assert hanzi_to_pinyin("地铁站") == "di4 tie3 zhan4"
     assert hanzi_to_pinyin("这个箱子很重") == "zhe4 ge5#xiang1 zi5#hen3#zhong4"
     assert hanzi_to_pinyin("水果很便宜") == "shui2 guo2 hen3#pian2 yi5"
+
+
+def test_ja_casual_register_batch9():
+    """Casual-speech probe fixes: やばい, 今度 (was いまど), お腹 (was
+    おはら), らしい/みたい auxiliaries attach whole, 喉 readable,
+    どういう/そういう read ゆう like openjtalk (言う conjugations keep い)."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert "yabaine" in plain("それはやばいね")
+    assert "koNdono" in plain("今度の日曜日")
+    assert "onaka suita" in plain("お腹すいた")
+    assert "dekitaraʃiiyo" in plain("できたらしいよ")
+    assert "nodoga itai" in plain("喉が痛い")
+    assert "dooyuu" in plain("どういう意味")
+    assert "iQta" in plain("言った")           # 言う derivations keep い
+    assert "kataga koQte" in plain("肩が凝って")

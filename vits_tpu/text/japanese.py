@@ -374,6 +374,9 @@ _ATTACH = {
     # splits よ|うに because bare よ is a particle, reading "yo u ni"
     "ように": "ように", "ような": "ような", "ようで": "ようで",
     "ようです": "ようです", "ようだ": "ようだ", "ようだった": "ようだった",
+    # hearsay/appearance auxiliaries (できたらしい must not shed its らしい)
+    "らしい": "らしい", "らしいです": "らしいです",
+    "らしかった": "らしかった", "みたい": "みたい",
 }
 
 _MAX_SURFACE = max(
