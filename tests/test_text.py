@@ -878,3 +878,26 @@ def test_ja_casual_register_batch9():
     assert "dooyuu" in plain("どういう意味")
     assert "iQta" in plain("言った")           # 言う derivations keep い
     assert "kataga koQte" in plain("肩が凝って")
+
+
+def test_ja_keigo_register_batch10():
+    """Business-keigo probe fixes: 世話/申す/手数/今後/気軽/問い合わせ/
+    恐れ入る/伺う lexicon entries, ございます and させて auxiliary families
+    attach whole, surnames for と申します constructions, and the te+い
+    boundary is applied to attach chains (させて+いただきます must read
+    saseteitadakimasu, no ee merge)."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert "osewani" in plain("お世話になっております")
+    assert "tanakato mooʃimasu" in plain("田中と申します")
+    assert "otesuudesuga" in plain("お手数ですが")
+    assert "koNgotomo" in plain("今後とも")
+    assert "okigaruni" in plain("お気軽に")
+    assert "otoiawase" in plain("お問い合わせください")
+    assert "mooʃiwakegozaimaseN" in plain("申し訳ございません")
+    assert "sasete itadakimasu" in plain("変更させていただきます")
+    assert "ukagaQte" in plain("伺っても")
+    assert "osore hairimasuga" in plain("恐れ入りますが")

@@ -377,6 +377,12 @@ _ATTACH = {
     # hearsay/appearance auxiliaries (できたらしい must not shed its らしい)
     "らしい": "らしい", "らしいです": "らしいです",
     "らしかった": "らしかった", "みたい": "みたい",
+    # keigo auxiliaries: ござる politeness and させる causative families
+    # (ご質問がございましたら / 変更させていただきます)
+    "ございます": "ございます", "ございません": "ございません",
+    "ございました": "ございました", "ございましたら": "ございましたら",
+    "させる": "させる", "させて": "させて", "させます": "させます",
+    "させました": "させました", "させてください": "させてください",
 }
 
 _MAX_SURFACE = max(
@@ -735,6 +741,12 @@ def _segment(chunk: str) -> list[tuple[str, str, int | None]]:
 _TE_I_BOUNDARY = re.compile(
     r"([てで])(い(?:る|れば|ます|まし|ませ|た|て|な|き(?![ゃゅょ])|く|ただ|らっしゃ))"
 )
+
+# attach readings concatenate raw into the phrase string, so a て/で + い-aux
+# inside them (させて+いただきます chains) needs the same boundary sentinel
+# the kana-run path gets; already-marked values ("されて|います") no-op here
+for _k, _v in list(_ATTACH.items()):
+    _ATTACH[_k] = _TE_I_BOUNDARY.sub(r"\1|\2", _v)
 
 
 def _assemble_phrases(
