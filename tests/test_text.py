@@ -901,3 +901,19 @@ def test_ja_keigo_register_batch10():
     assert "sasete itadakimasu" in plain("変更させていただきます")
     assert "ukagaQte" in plain("伺っても")
     assert "osore hairimasuga" in plain("恐れ入りますが")
+
+
+def test_ja_travel_register_batch11():
+    """Travel/shopping probe fixes: 新宿 (was shin+yado), 預かる, 試着,
+    現金, major place names with standard accents."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert "ʃiNjuku" in plain("新宿駅に止まります")
+    assert "azukaQte" in plain("荷物を預かって")
+    assert "ʃiʧaku" in plain("試着してもいいですか")
+    assert "geNkiNde" in plain("現金で払います")
+    assert "kyooto" in plain("京都と奈良へ行く")
+    assert "saQporo" in plain("札幌の冬")
