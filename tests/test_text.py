@@ -917,3 +917,24 @@ def test_ja_travel_register_batch11():
     assert "geNkiNde" in plain("現金で払います")
     assert "kyooto" in plain("京都と奈良へ行く")
     assert "saQporo" in plain("札幌の冬")
+
+
+def test_ja_reference_corpus_coverage():
+    """The reference's own filelists (visual-novel dialogue) are the target
+    input distribution: batch 12 took silently-dropped kanji tokens from
+    7.9% to <1%. Pin the register words and the corpus name readings."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert "seNpai" in plain("先輩、おはようございます")
+    assert "jama" in plain("邪魔しないで")
+    assert "nakamano sugata" in plain("仲間の姿")
+    assert "ʃuNkaN" in plain("瞬間")
+    assert "kakeruno aniki" in plain("翔の兄貴")  # corpus protagonist name
+    assert "koogeki" in plain("攻撃して")
+    assert "maboroʃi" in plain("幻だった")
+    assert "uwasano yuureewa" in plain("噂の幽霊は")
+    assert "sekiniNo" in plain("責任を")
+    assert "makasete" in plain("任せてほしい")
