@@ -416,6 +416,23 @@ _CHAR_DATA += """
 咚dong1 敕chi4 桨jiang3 樱ying1 戎rong2 榻ta4 愕e4 鹧zhe4 蔓man4 晤wu4
 憋bie1 啼ti2 懿yi4 骸hai2 摹mo2 磋cuo1 趾zhi3 咏yong3 鲤li3 翘qiao4
 吭keng1 骞qian1 拣jian3 鳄e4 乍zha4 酯zhi3 绰chuo4 栅zha4 鸠jiu1 氟fu2
+僭jian4 宸chen2 澶chan2 郧yun2 蕲qi2 犬quan3 赣gan4 鞑da2 尬ga4 寮liao2
+蕃fan1 逾yu2 弼bi4 绅shen1 腑fu3 稽ji1 溉gai4 宵xiao1 庇bi4 蒿hao1
+蛛zhu1 窍qiao4 笨ben4 鸽ge1 泵beng4 袱fu2 薇wei1 捡jian3 拈nian1 灞ba4
+琛chen1 藉jie4 锯ju4 邱qiu1 莹ying2 脓nong2 闺gui1 颐yi2 譬pi4 钛tai4
+奎kui2 揣chuai3 绢juan4 茸rong2 蜒yan2 畸ji1 姝shu1 棠tang2 怦peng1
+晦hui4 朔shuo4 疮chuang1 蓦mo4 靶ba3 攒zan3 渭wei4 铀you2 唾tuo4 茄qie2
+蕾lei3 馨xin1 廖liao4 荤hun1 傣dai3 胥xu1 兢jing1 扛kang2 葵kui2 丕pi1
+舜shun4 鲨sha1 乒ping1 逞cheng3 诬wu1 苟gou3 廓kuo4 镍nie4 槛kan3
+牟mou2 鸳yuan1 俏qiao4 芥jie4 裴pei2 麟lin2 叭ba1 悼dao4 楞leng4 毗pi2
+赎shu2 倭wo1 玺xi3 蝉chan2 憎zeng1 楷kai3 柑gan1 杠gang4 蚊wen2 妒du4
+馈kui4 删shan1 孜zi1 拙zhuo1 韬tao1 祷dao3 熄xi1 鸯yang1 虐nve4 蒯kuai3
+紊wen3 酰xian1 佬lao3 翌yi4 妮ni1 蚌bang4 侈chi3 噶ga2 剃ti4 芭ba1
+烩hui4 锭ding4 娑suo1 胧long2 琅lang2 坞wu4 褂gua4 筵yan2 轧ya4 褶zhe3
+觑qu4 酮tong2 篆zhuan4 醛quan2 洽qia4 唧ji1 趴pa1 绉zhou4 崛jue2 圻qi2
+扼e4 叨dao1 蒜suan4 寞mo4 毡zhan1 砥di3 撬qiao4 煨wei1 嫉ji2 腮sai1
+慑she4 朦meng2 嗅xiu4 鲢lian2 聋long2 炖dun4 酌zhuo2 冉ran3 胤yin4
+攘rang3 牒die2
 """
 
 _PHRASE_DATA = """
