@@ -938,3 +938,32 @@ def test_ja_reference_corpus_coverage():
     assert "uwasano yuureewa" in plain("噂の幽霊は")
     assert "sekiniNo" in plain("責任を")
     assert "makasete" in plain("任せてほしい")
+
+
+def test_ja_reference_filelists_full_coverage():
+    """Every kanji in the reference's own training filelists has a reading
+    (word or char fallback) — nothing is silently dropped. Runs only where
+    the reference snapshot is mounted."""
+    import os
+    import re as _re
+
+    import pytest
+
+    base = "/root/reference/filelists"
+    if not os.path.isdir(base):
+        pytest.skip("reference snapshot not mounted")
+    from vits_tpu.text.kanji_dict import CHARS
+    from vits_tpu.text.japanese import _WORDS
+
+    cov = CHARS.keys() | {ch for w in _WORDS for ch in w}
+    missing = {}
+    for name in ("train.csv", "train.sora.csv", "val.csv", "val.sora.csv"):
+        for line in open(os.path.join(base, name)):
+            parts = line.strip().split("|")
+            if len(parts) < 3:
+                continue
+            for block in _re.findall(r"\[JA\](.*?)\[JA\]", parts[2]):
+                for ch in block:
+                    if 0x4E00 <= ord(ch) <= 0x9FFF and ch not in cov:
+                        missing[ch] = missing.get(ch, 0) + 1
+    assert not missing, f"unreadable kanji in reference corpus: {missing}"

@@ -899,6 +899,12 @@ def _fallback_sentence_to_romaji(sentence: str) -> str:
     segment (kanji_dict longest-match DP), group into accent phrases,
     read particles (は->わ, へ->え, を->お) and numbers, emit arrows.
     Accent phrases are space-separated, as the full-context path does."""
+    # full-width latin/digits (Ｗｏｗ, ＳＵＳＨＩ — common in VN text) fold
+    # to ASCII so the letter-name and number rules see them
+    sentence = "".join(
+        chr(ord(c) - 0xFEE0) if 0xFF01 <= ord(c) <= 0xFF5E else c
+        for c in sentence
+    )
     sentence = _LATIN_RUN.sub(
         lambda m: "".join(_LATIN_KANA[c] for c in m.group(0).upper()),
         sentence,
