@@ -967,3 +967,26 @@ def test_ja_reference_filelists_full_coverage():
                     if 0x4E00 <= ord(ch) <= 0x9FFF and ch not in cov:
                         missing[ch] = missing.get(ch, 0) + 1
     assert not missing, f"unreadable kanji in reference corpus: {missing}"
+
+
+def test_ja_imperatives_and_corpus_quality_batch14():
+    """Imperative forms derive (行け/食べろ/止まれ — VN dialogue is full of
+    them; also the stem of slang negatives 動けねぇ); はず/なんて attach as
+    units; corpus-probe misreads fixed (散々/暴力/野蛮/豊富/長距離/呆れる)."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert "ugokeneeka" in plain("動けねぇか")
+    assert "ike" in plain("早く行け")
+    assert plain("食べろ") == "tabero"
+    assert plain("止まれ") == "tomare"
+    assert "nigerareta hazu" in plain("逃げられたはず")
+    assert "ʃikakunaNte" in plain("資格なんて")
+    assert "saNzaNna" in plain("散々な一日")
+    assert "booryokude" in plain("暴力で")
+    assert "yabaNna" in plain("野蛮な")
+    assert "hoofukatsu kaNtaN" in plain("豊富かつ簡単")
+    assert "ʧookyori" in plain("長距離移動")
+    assert "akireru" in plain("呆れるわね")

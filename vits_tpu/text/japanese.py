@@ -288,6 +288,9 @@ for _surf, (_read, _acc) in _DERIVE_BASE:
             _br = _read[:-1] + "れば"
             _ba = _acc if _acc in (None, 0) else min(_acc, _moras_len(_br) - 1)
             _plain_add(_surf[:-1] + "れば", _br, _ba)
+            # imperative 食べろ (VN dialogue is full of imperatives)
+            _plain_add(_surf[:-1] + "ろ", _read[:-1] + "ろ",
+                       _moras_len(_read[:-1] + "ろ") - 1)
         else:
             _fin = _surf[-1]
             _verb_forms_add(_surf[:-1], _read[:-1], _GODAN_TE[_fin],
@@ -314,6 +317,10 @@ for _surf, (_read, _acc) in _DERIVE_BASE:
             _br = _pot_r + "ば"
             _ba = _acc if _acc in (None, 0) else min(_acc, _moras_len(_br) - 1)
             _plain_add(_pot_s + "ば", _br, _ba)
+            # imperative 読め / 動け — the bare e-row stem (also the stem of
+            # slang negatives 動けねぇ, which attach ねぇ separately)
+            _ia = _acc if _acc in (None, 0) else min(_acc, _moras_len(_pot_r) - 1)
+            _plain_add(_pot_s, _pot_r, _ia)
             # passive 読まれる (a-row + れる), an ichidan verb of its own
             _pas_s = _surf[:-1] + _GODAN_NAI[_fin] + "れ"
             _pas_r = _read[:-1] + _GODAN_NAI[_fin] + "れ"
@@ -381,6 +388,9 @@ _ATTACH = {
     # (ご質問がございましたら / 変更させていただきます)
     "ございます": "ございます", "ございません": "ございません",
     "ございました": "ございました", "ございましたら": "ございましたら",
+    # conjecture/emphasis tails and slang negative
+    "なんて": "なんて", "なんか": "なんか",
+    "ねぇ": "ねえ", "ねえ": "ねえ", "かつ": "かつ",
     "させる": "させる", "させて": "させて", "させます": "させます",
     "させました": "させました", "させてください": "させてください",
 }
