@@ -990,3 +990,24 @@ def test_ja_imperatives_and_corpus_quality_batch14():
     assert "hoofukatsu kaNtaN" in plain("豊富かつ簡単")
     assert "ʧookyori" in plain("長距離移動")
     assert "akireru" in plain("呆れるわね")
+
+
+def test_ja_causative_and_corpus_batch15():
+    """Causative paradigm derives for godan and ichidan verbs (読ませる/
+    食べさせる/作らせて); corpus-probe misreads fixed (確か/間違い/発揮/許す/
+    主人公/親友/真/そのうち boundary)."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert "yomaseta" in plain("本を読ませた")
+    assert "tabesaseru" in plain("野菜を食べさせる")
+    assert "tsukurasete" in plain("急ピッチで作らせては")
+    assert "taʃikani" in plain("確かに")
+    assert "maʧigainaku" in plain("間違いなく")
+    assert "haQki suru" in plain("力を発揮する")
+    assert "yurusenai" in plain("許せない")
+    assert "ʃujiNkooo tasukeru ʃiNyuu" in plain("主人公を助ける親友")
+    assert "ʃiNno ʧikara" in plain("真の力")
+    assert "sonouʧi" in plain("そのうち")   # no noo long-vowel merge

@@ -282,6 +282,12 @@ for _surf, (_read, _acc) in _DERIVE_BASE:
             _plain_add(_pot_s + "る", _pot_r + "る", _pa)
             _polite_add(_pot_s, _pot_r)
             _verb_forms_add(_pot_s, _pot_r, "て", "", _pa)
+            # causative 食べさせる, an ichidan verb of its own
+            _cau_s, _cau_r = _surf[:-1] + "させ", _read[:-1] + "させ"
+            _ca = _acc if _acc in (None, 0) else _moras_len(_cau_r + "る") - 1
+            _plain_add(_cau_s + "る", _cau_r + "る", _ca)
+            _polite_add(_cau_s, _cau_r)
+            _verb_forms_add(_cau_s, _cau_r, "て", "", _ca)
             # volitional 食べよう / conditional 食べれば
             _vr = _read[:-1] + "よう"
             _plain_add(_surf[:-1] + "よう", _vr, _moras_len(_vr) - 1)
@@ -328,6 +334,13 @@ for _surf, (_read, _acc) in _DERIVE_BASE:
             _plain_add(_pas_s + "る", _pas_r + "る", _psa)
             _polite_add(_pas_s, _pas_r)
             _verb_forms_add(_pas_s, _pas_r, "て", "", _psa)
+            # causative 読ませる / 作らせる (a-row + せる), ichidan likewise
+            _cau_s = _surf[:-1] + _GODAN_NAI[_fin] + "せ"
+            _cau_r = _read[:-1] + _GODAN_NAI[_fin] + "せ"
+            _ca = _acc if _acc in (None, 0) else _moras_len(_cau_r + "る") - 1
+            _plain_add(_cau_s + "る", _cau_r + "る", _ca)
+            _polite_add(_cau_s, _cau_r)
+            _verb_forms_add(_cau_s, _cau_r, "て", "", _ca)
 
 # て/で + い-initial subsidiary verb inside a lexicon reading (している,
 # 知っている, 住んでいる and their derived forms): mark the morpheme
@@ -343,6 +356,12 @@ for _surf in list(_WORDS):
     _new = _TE_I_COMPOSITE.sub(r"\1|\2", _read)
     if _new != _read:
         _WORDS[_surf] = (_new, _acc)
+
+# hand-marked morpheme boundaries the composite regex cannot infer
+# (そのうち must read sono-uchi, not merge のう -> noo)
+for _surf, _marked in (("そのうち", "その|うち"),):
+    if _surf in _WORDS:
+        _WORDS[_surf] = (_marked, _WORDS[_surf][1])
 
 _READING_ACCENT: dict[str, int] = {}
 for _surf, (_read, _acc) in _WORDS.items():
@@ -391,6 +410,7 @@ _ATTACH = {
     # conjecture/emphasis tails and slang negative
     "なんて": "なんて", "なんか": "なんか",
     "ねぇ": "ねえ", "ねえ": "ねえ", "かつ": "かつ",
+    "かしら": "かしら", "なく": "なく",
     "させる": "させる", "させて": "させて", "させます": "させます",
     "させました": "させました", "させてください": "させてください",
 }
