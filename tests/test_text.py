@@ -1011,3 +1011,27 @@ def test_ja_causative_and_corpus_batch15():
     assert "ʃujiNkooo tasukeru ʃiNyuu" in plain("主人公を助ける親友")
     assert "ʃiNno ʧikara" in plain("真の力")
     assert "sonouʧi" in plain("そのうち")   # no noo long-vowel merge
+
+
+def test_ja_corpus_batch16():
+    """以上/以外 family, 王子, 数+quantity compounds, 破壊/体内/限り/救う/
+    解き放つ/血眼, だろ attach, ちょうだい as a word (attaches after
+    katakana runs too)."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert "ijoo" in plain("難しい以上")
+    assert "igaiwa" in plain("それ以外は")
+    assert "oojino" in plain("王子の次は")
+    assert "suuhyaku" in plain("数百")
+    assert "hakaiwa" in plain("破壊は")
+    assert "tainaini torikomarete" in plain("体内に取り込まれて")
+    assert "kanoona kagiri" in plain("可能な限り")
+    assert "ʧimanakoni" in plain("血眼になって")
+    assert "sukuenai" in plain("救えない")
+    assert "tokihanatareta" in plain("解き放たれた")
+    assert "ʃitadaro" in plain("言おうとしただろ")
+    assert "ʧoodai" in plain("チャンスちょうだい")
+    assert "tokino tameni" in plain("なかったときのために")

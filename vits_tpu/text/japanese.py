@@ -411,6 +411,7 @@ _ATTACH = {
     "なんて": "なんて", "なんか": "なんか",
     "ねぇ": "ねえ", "ねえ": "ねえ", "かつ": "かつ",
     "かしら": "かしら", "なく": "なく",
+    "だろ": "だろ", "だろう": "だろう", "ちょうだい": "ちょうだい",
     "させる": "させる", "させて": "させて", "させます": "させます",
     "させました": "させました", "させてください": "させてください",
 }
