@@ -1035,3 +1035,23 @@ def test_ja_corpus_batch16():
     assert "ʃitadaro" in plain("言おうとしただろ")
     assert "ʧoodai" in plain("チャンスちょうだい")
     assert "tokino tameni" in plain("なかったときのために")
+
+
+def test_ja_corpus_batch17_register_and_suffixes():
+    """Fallback-detector sweep: 92 common words added as lexicon entries
+    (人間 read per-char as hito+aida); name suffixes くん/さん/ちゃん attach
+    so a following topic は reads わ."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert "niNgeNno nooryoku" in plain("人間の能力")
+    assert "zeQtaini heeki" in plain("絶対に平気")
+    assert "ryookai" in plain("了解")
+    assert "haNniNwa" in plain("犯人は誰")
+    assert "niimikuNwa" in plain("新海くんは")      # suffix + topic は
+    assert "tanakasaNwa" in plain("田中さんは")
+    assert "teNʧaNwa" in plain("天ちゃんは")
+    assert "otsukaresamadeʃita" in plain("お疲れ様でした")
+    assert "meNdoodakedo ʃikatanai" in plain("面倒だけど仕方ない")

@@ -412,6 +412,10 @@ _ATTACH = {
     "ねぇ": "ねえ", "ねえ": "ねえ", "かつ": "かつ",
     "かしら": "かしら", "なく": "なく",
     "だろ": "だろ", "だろう": "だろう", "ちょうだい": "ちょうだい",
+    # name suffixes (新海くんは: without these くんは merges into one raw
+    # kana token and the topic は cannot read わ)
+    "くん": "くん", "さん": "さん", "ちゃん": "ちゃん", "さま": "さま",
+    "たち": "たち",
     "させる": "させる", "させて": "させて", "させます": "させます",
     "させました": "させました", "させてください": "させてください",
 }
