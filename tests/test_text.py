@@ -1055,3 +1055,24 @@ def test_ja_corpus_batch17_register_and_suffixes():
     assert "teNʧaNwa" in plain("天ちゃんは")
     assert "otsukaresamadeʃita" in plain("お疲れ様でした")
     assert "meNdoodakedo ʃikatanai" in plain("面倒だけど仕方ない")
+
+
+def test_zh_heteronym_audit():
+    """Frequent heteronym words resolve to the correct readings (行/重/长/
+    还/觉/教/乐/发/干/切/便/调/都 audit, 52-word panel)."""
+    from vits_tpu.text.pinyin_dict import word_to_pinyin
+
+    expect = {
+        "行为": "xing2 wei2", "行业": "hang2 ye4", "旅行": "lv3 xing2",
+        "重要": "zhong4 yao4", "重新": "chong2 xin1", "成长": "cheng2 zhang3",
+        "长城": "chang2 cheng2", "还是": "hai2 shi4", "归还": "gui1 huan2",
+        "睡觉": "shui4 jiao4", "感觉": "gan3 jue2", "教书": "jiao1 shu1",
+        "音乐": "yin1 yue4", "快乐": "kuai4 le4", "头发": "tou2 fa5",
+        "干净": "gan1 jing4", "干部": "gan4 bu4", "切换": "qie1 huan4",
+        "一切": "yi2 qie4", "切实": "qie4 shi2", "便宜": "pian2 yi5",
+        "方便": "fang1 bian4", "空调": "kong1 tiao2", "调查": "diao4 cha2",
+        "首都": "shou3 du1", "都是": "dou1 shi4", "地铁": "di4 tie3",
+    }
+    for w, want in expect.items():
+        got = " ".join(word_to_pinyin(w))
+        assert got == want, (w, got, want)

@@ -89,7 +89,7 @@ _CHAR_DATA = """
 创chuang4 余yu2 照zhao4 兴xing1 占zhan4 巴ba1 虽sui1 洲zhou1
 村cun1 费fei4 易yi4 试shi4 星xing1 木mu4 黑hei1 左zuo3 宝bao3
 置zhi4 跟gen1 央yang1 识shi2 维wei2 采cai3 六liu4 底di3 宫gong1
-房fang2 音yin1 环huan2 案an4 批pi1 切qie4 斗dou4 富fu4 乡xiang1
+房fang2 音yin1 环huan2 案an4 批pi1 切qie1 斗dou4 富fu4 乡xiang1
 另ling4 倒dao4 若ruo4 按an4 查cha2 故gu4 突tu1 责ze2 严yan2
 桥qiao2 模mo2 仅jin3 胜sheng4 杀sha1 围wei2 席xi2 态tai4 破po4
 承cheng2 招zhao1 杨yang2 负fu4 层ceng2 须xu1 父fu4 供gong1 续xu4
@@ -776,6 +776,11 @@ _PHRASE_DATA = """
 亲切 qin1 qie4
 迫切 po4 qie4
 确切 que4 qie4
+切实 qie4 shi2
+贴切 tie1 qie4
+恳切 ken3 qie4
+关切 guan1 qie4
+热切 re4 qie4
 假期 jia4 qi1
 假日 jia4 ri4
 放假 fang4 jia4
