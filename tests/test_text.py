@@ -1076,3 +1076,27 @@ def test_zh_heteronym_audit():
     for w, want in expect.items():
         got = " ".join(word_to_pinyin(w))
         assert got == want, (w, got, want)
+
+
+def test_zh_heteronym_audit_extended():
+    """80-word heteronym panel round 2 (种/为/少/好/处/数/应/当/传/藏/差/
+    假/倒/背/结/空/累/散/扫/弹/血/间/相/朝/强)."""
+    from vits_tpu.text.pinyin_dict import word_to_pinyin
+
+    expect = {
+        "种类": "zhong3 lei4", "种植": "zhong4 zhi2", "少年": "shao4 nian2",
+        "减少": "jian3 shao3", "爱好": "ai4 hao4", "处理": "chu3 li3",
+        "到处": "dao4 chu4", "数学": "shu4 xue2", "应该": "ying1 gai1",
+        "反应": "fan3 ying4", "当然": "dang1 ran2", "传统": "chuan2 tong3",
+        "传记": "zhuan4 ji4", "西藏": "xi1 zang4", "隐藏": "yin3 cang2",
+        "出差": "chu1 chai1", "假期": "jia4 qi1", "放假": "fang4 jia4",
+        "摔倒": "shuai1 dao3", "背包": "bei1 bao1", "背景": "bei4 jing3",
+        "结果": "jie2 guo3", "空闲": "kong4 xian2", "散步": "san4 bu4",
+        "散文": "san3 wen2", "扫帚": "sao4 zhou5", "子弹": "zi3 dan4",
+        "弹琴": "tan2 qin2", "血液": "xue4 ye4", "中奖": "zhong4 jiang3",
+        "相机": "xiang4 ji1", "相声": "xiang4 sheng5", "朝阳": "chao2 yang2",
+        "勉强": "mian3 qiang3", "倔强": "jue2 jiang4",
+    }
+    for w, want in expect.items():
+        got = " ".join(word_to_pinyin(w))
+        assert got == want, (w, got, want)

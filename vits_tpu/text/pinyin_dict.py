@@ -432,7 +432,7 @@ _CHAR_DATA += """
 觑qu4 酮tong2 篆zhuan4 醛quan2 洽qia4 唧ji1 趴pa1 绉zhou4 崛jue2 圻qi2
 扼e4 叨dao1 蒜suan4 寞mo4 毡zhan1 砥di3 撬qiao4 煨wei1 嫉ji2 腮sai1
 慑she4 朦meng2 嗅xiu4 鲢lian2 聋long2 炖dun4 酌zhuo2 冉ran3 胤yin4
-攘rang3 牒die2
+攘rang3 牒die2 帚zhou3 倔jue2
 """
 
 _PHRASE_DATA = """
@@ -777,6 +777,14 @@ _PHRASE_DATA = """
 迫切 po4 qie4
 确切 que4 qie4
 切实 qie4 shi2
+少年 shao4 nian2
+青少年 qing1 shao4 nian2
+背包 bei1 bao1
+扫帚 sao4 zhou5
+相声 xiang4 sheng5
+朝阳 chao2 yang2
+勉强 mian3 qiang3
+倔强 jue2 jiang4
 贴切 tie1 qie4
 恳切 ken3 qie4
 关切 guan1 qie4
