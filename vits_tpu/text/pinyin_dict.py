@@ -783,7 +783,6 @@ _PHRASE_DATA = """
 扫帚 sao4 zhou5
 相声 xiang4 sheng5
 朝阳 chao2 yang2
-勉强 mian3 qiang3
 倔强 jue2 jiang4
 贴切 tie1 qie4
 恳切 ken3 qie4
