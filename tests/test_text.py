@@ -898,7 +898,7 @@ def test_ja_keigo_register_batch10():
     assert "okigaruni" in plain("お気軽に")
     assert "otoiawase" in plain("お問い合わせください")
     assert "mooʃiwakegozaimaseN" in plain("申し訳ございません")
-    assert "sasete itadakimasu" in plain("変更させていただきます")
+    assert "saseteitadakimasu" in plain("変更させていただきます")
     assert "ukagaQte" in plain("伺っても")
     assert "osore hairimasuga" in plain("恐れ入りますが")
 
@@ -1102,3 +1102,20 @@ def test_zh_heteronym_audit_extended():
     for w, want in expect.items():
         got = " ".join(word_to_pinyin(w))
         assert got == want, (w, got, want)
+
+
+def test_ja_romance_register_batch21():
+    """Romance register (the corpus genre): 付き合う/初恋/再会/頬/失恋/
+    想い/抱く; いただく keigo family attaches with the te+い join boundary
+    (教えていただけますか keeps -tei-, 抱ける's だけます cannot steal it)."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert "tsukiaQte" in plain("付き合ってください")
+    assert "hatsukoino hitoni saikai" in plain("初恋の人に再会した")
+    assert "hooga akaku" in plain("頬が赤くなる")
+    assert "ʃitsureNda" in plain("失恋だ")
+    assert "dakiʃimetemo" in plain("抱きしめてもいい？")
+    assert "oʃieteitadakemasuka" in plain("教えていただけますか")

@@ -403,6 +403,14 @@ _ATTACH = {
     # hearsay/appearance auxiliaries (できたらしい must not shed its らしい)
     "らしい": "らしい", "らしいです": "らしいです",
     "らしかった": "らしかった", "みたい": "みたい",
+    # keigo auxiliaries: いただく receiving family (教えていただけますか —
+    # without these, 抱ける's kana reading だけます can steal いた|だけます)
+    "いただく": "いただく", "いただきます": "いただきます",
+    "いただきました": "いただきました", "いただいて": "いただいて",
+    "いただける": "いただける", "いただけます": "いただけます",
+    "いただけますか": "いただけますか",
+    "いただけますでしょうか": "いただけますでしょうか",
+    "いただけると": "いただけると", "いただけたら": "いただけたら",
     # keigo auxiliaries: ござる politeness and させる causative families
     # (ご質問がございましたら / 変更させていただきます)
     "ございます": "ございます", "ございません": "ございません",
@@ -821,7 +829,12 @@ def _assemble_phrases(
             # (しています must stay "shiteimasu", ていただけます "teitadake")
             read = _TE_I_BOUNDARY.sub(r"\1|\2", read)
         if kind == "attach" and cur:
-            cur += read
+            if cur.endswith(("て", "で")) and read.startswith("い"):
+                # te-form + い-initial auxiliary join (教えて+いただけます):
+                # morpheme boundary so the ei->ee merge cannot fire
+                cur += "|" + read
+            else:
+                cur += read
         elif kind == "kanji" and cur and prev_kind in ("word", "kanji", "num"):
             cur += read  # unknown compound continues the phrase
         elif kind == "kana" and cur and prev_kind not in ("", "attach"):
