@@ -1119,3 +1119,24 @@ def test_ja_romance_register_batch21():
     assert "ʃitsureNda" in plain("失恋だ")
     assert "dakiʃimetemo" in plain("抱きしめてもいい？")
     assert "oʃieteitadakemasuka" in plain("教えていただけますか")
+
+
+def test_ja_school_register_batch23():
+    """School register: 購買/図書室/席替え/窓際/生徒会/立候補/反省; the
+    contracted causative-passive derives (書かされる/付き合わされた); 会's
+    char fallback is the bound morpheme かい (会う conjugations are words)."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert "koobaide" in plain("購買でパンを買った")
+    assert "toʃoʃitsude" in plain("図書室で")
+    assert "sekigaede madogiwani" in plain("席替えで窓際になった")
+    assert "seetokaino" in plain("生徒会の")
+    assert "riQkooho" in plain("立候補した")
+    assert "haNsee" in plain("反省文")
+    assert "kakasareru" in plain("書かされる")
+    assert "tsukiawasareta" in plain("付き合わされた")
+    assert "tomodaʧini aQta" in plain("友達に会った")
+    assert "ofukaini" in plain("オフ会に")

@@ -341,6 +341,12 @@ for _surf, (_read, _acc) in _DERIVE_BASE:
             _plain_add(_cau_s + "る", _cau_r + "る", _ca)
             _polite_add(_cau_s, _cau_r)
             _verb_forms_add(_cau_s, _cau_r, "て", "", _ca)
+            # contracted causative-passive 書かされる (a-row + され)
+            _cp_s = _surf[:-1] + _GODAN_NAI[_fin] + "され"
+            _cp_r = _read[:-1] + _GODAN_NAI[_fin] + "され"
+            _cpa = _acc if _acc in (None, 0) else _moras_len(_cp_r + "る") - 1
+            _plain_add(_cp_s + "る", _cp_r + "る", _cpa)
+            _verb_forms_add(_cp_s, _cp_r, "て", "", _cpa)
 
 # て/で + い-initial subsidiary verb inside a lexicon reading (している,
 # 知っている, 住んでいる and their derived forms): mark the morpheme
