@@ -783,6 +783,12 @@ _PHRASE_DATA = """
 扫帚 sao4 zhou5
 相声 xiang4 sheng5
 朝阳 chao2 yang2
+调低 tiao2 di1
+调高 tiao2 gao1
+调大 tiao2 da4
+调小 tiao2 xiao3
+调亮 tiao2 liang4
+调暗 tiao2 an4
 倔强 jue2 jiang4
 贴切 tie1 qie4
 恳切 ken3 qie4
