@@ -1140,3 +1140,24 @@ def test_ja_school_register_batch23():
     assert "tsukiawasareta" in plain("付き合わされた")
     assert "tomodaʧini aQta" in plain("友達に会った")
     assert "ofukaini" in plain("オフ会に")
+
+
+def test_ja_sora_corpus_batch25():
+    """Family terms (お兄ちゃん was o+ani+chan), なきゃ/なくちゃ/ん negative
+    contractions derive for every verb, まくる volume auxiliary attaches,
+    構う/返る/早速/実況/一向に."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert "oniiʧaNni" in plain("お兄ちゃんに")
+    assert "iwanakya" in plain("言わなきゃいけない")
+    assert "ikanakuʧa" in plain("行かなくちゃ")
+    assert "ʃiraN" in plain("そんなこと知らん")
+    assert "kamawaNne" in plain("構わんね")
+    assert "iQkooni" in plain("一向に")
+    assert "torimakuQte" in plain("撮りまくってました")
+    assert "saQsoku" in plain("早速")
+    assert "jiQkyoo" in plain("実況")
+    assert "yubuneni" in plain("湯船に")

@@ -247,10 +247,12 @@ def _verb_forms_add(surf_stem, read_stem, te, nai_row, acc):
         _r = read_stem + _sfx
         _a = acc if acc in (None, 0) else min(acc, _moras_len(_r) - 1)
         _plain_add(surf_stem + _sfx, _r, _a)
-    # negative 〜ない (+ past/conditional/conjunctive negatives)
+    # negative 〜ない (+ past/conditional/conjunctive negatives; なきゃ/
+    # なくちゃ contractions and the rough ん-negative for VN dialogue)
     if nai_row is not None:
         for _sfx, _back in (("ない", 2), ("なかった", 4), ("なければ", 4),
-                            ("ないで", 3), ("ず", 1), ("ずに", 2)):
+                            ("ないで", 3), ("ず", 1), ("ずに", 2),
+                            ("なきゃ", 2), ("なくちゃ", 3), ("ん", 1)):
             _r = read_stem + nai_row + _sfx
             _a = acc if acc in (None, 0) else _moras_len(_r) - _back
             _plain_add(surf_stem + nai_row + _sfx, _r, _a)
@@ -426,6 +428,8 @@ _ATTACH = {
     "ねぇ": "ねえ", "ねえ": "ねえ", "かつ": "かつ",
     "かしら": "かしら", "なく": "なく",
     "だろ": "だろ", "だろう": "だろう", "ちょうだい": "ちょうだい",
+    # volume auxiliary まくる (撮りまくって attaches to the masu-stem)
+    "まくる": "まくる", "まくって": "まくって", "まくり": "まくり",
     # name suffixes (新海くんは: without these くんは merges into one raw
     # kana token and the topic は cannot read わ)
     "くん": "くん", "さん": "さん", "ちゃん": "ちゃん", "さま": "さま",
