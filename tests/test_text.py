@@ -1161,3 +1161,21 @@ def test_ja_sora_corpus_batch25():
     assert "saQsoku" in plain("早速")
     assert "jiQkyoo" in plain("実況")
     assert "yubuneni" in plain("湯船に")
+
+
+def test_ja_onbin_boundary_batch27():
+    """い-onbin te-forms after an え-row stem mora carry a morpheme boundary:
+    嘆いて stays nageite, 稼いで kaseide (the ei->ee merge must not fire);
+    なくて negatives derive (言われなくても)."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert "nageitemo" in plain("嘆いても無駄だ")
+    assert "kaseideiru" in plain("お金を稼いでいる")
+    assert "iwarenakutemo" in plain("言われなくてもやる")
+    assert "aQtooteki" in plain("圧倒的")
+    assert "sagurasenakya" in plain("探らせなきゃ")
+    assert "ʃitaʃiku" in plain("親しくなる")
+    assert "oyoide" in plain("泳いで渡る")   # oi sequence untouched

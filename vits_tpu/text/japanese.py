@@ -241,18 +241,26 @@ def _plain_add(key: str, read: str, acc: int | None) -> None:
         _WORDS[key] = (read, acc)
 
 
+_E_ROW = set("えけせてねへめれげぜでべぺ")
+
+
 def _verb_forms_add(surf_stem, read_stem, te, nai_row, acc):
-    # te / ta
+    # te / ta. い-onbin forms after an え-row stem mora carry a morpheme
+    # boundary so the ei->ee long-vowel merge cannot fire (嘆いて must stay
+    # nageite, 稼いで kaseide — not nageete/kaseede)
     for _sfx in (te, te[:-1] + ("だ" if te[-1] == "で" else "た")):
         _r = read_stem + _sfx
-        _a = acc if acc in (None, 0) else min(acc, _moras_len(_r) - 1)
+        if _sfx[0] == "い" and read_stem and read_stem[-1] in _E_ROW:
+            _r = read_stem + "|" + _sfx
+        _a = acc if acc in (None, 0) else min(acc, _moras_len(_r.replace("|", "")) - 1)
         _plain_add(surf_stem + _sfx, _r, _a)
     # negative 〜ない (+ past/conditional/conjunctive negatives; なきゃ/
     # なくちゃ contractions and the rough ん-negative for VN dialogue)
     if nai_row is not None:
         for _sfx, _back in (("ない", 2), ("なかった", 4), ("なければ", 4),
                             ("ないで", 3), ("ず", 1), ("ずに", 2),
-                            ("なきゃ", 2), ("なくちゃ", 3), ("ん", 1)):
+                            ("なきゃ", 2), ("なくちゃ", 3), ("ん", 1),
+                            ("なくて", 3)):
             _r = read_stem + nai_row + _sfx
             _a = acc if acc in (None, 0) else _moras_len(_r) - _back
             _plain_add(surf_stem + nai_row + _sfx, _r, _a)
