@@ -1179,3 +1179,19 @@ def test_ja_onbin_boundary_batch27():
     assert "sagurasenakya" in plain("探らせなきゃ")
     assert "ʃitaʃiku" in plain("親しくなる")
     assert "oyoide" in plain("泳いで渡る")   # oi sequence untouched
+
+
+def test_ja_quotative_tte_batch28():
+    """Quotative って attaches (可愛いって was falling apart into 可+愛+
+    いって); verb って forms are unaffected; rough pronouns お前/貴様."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert "kawaiiQte iQte" in plain("可愛いって言って")
+    assert "aʃitaQte" in plain("明日って何曜日")
+    assert plain("言って") == "iQte"
+    assert plain("だって") == "daQte"
+    assert "omaera" in plain("お前ら正気かよ")
+    assert "midasuN" in plain("乱すんじゃない")

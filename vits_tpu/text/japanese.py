@@ -438,6 +438,9 @@ _ATTACH = {
     "だろ": "だろ", "だろう": "だろう", "ちょうだい": "ちょうだい",
     # volume auxiliary まくる (撮りまくって attaches to the masu-stem)
     "まくる": "まくる", "まくって": "まくって", "まくり": "まくり",
+    # quotative/topic って (可愛いって言って was falling apart into
+    # 可+愛+いって because って could not attach)
+    "って": "って", "ってば": "ってば",
     # name suffixes (新海くんは: without these くんは merges into one raw
     # kana token and the topic は cannot read わ)
     "くん": "くん", "さん": "さん", "ちゃん": "ちゃん", "さま": "さま",
