@@ -1195,3 +1195,25 @@ def test_ja_quotative_tte_batch28():
     assert plain("だって") == "daQte"
     assert "omaera" in plain("お前ら正気かよ")
     assert "midasuN" in plain("乱すんじゃない")
+
+
+def test_ja_contractions_and_particle_steal_batch30():
+    """てしまう contractions derive on the te-stem (食べちゃった/飲んじゃ
+    おう/運んじゃった) — but not the bare ては-contraction, which is
+    particle-like and steals (乱すんじゃない pinned); kana readings starting
+    with topic-particle chars are dearer, so 対策はした splits correctly."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert plain("食べちゃった") == "tabeʧaQta"
+    assert plain("飲んじゃおう") == "noNjaoo"
+    assert "hakoNjaQta" in plain("ベッド運んじゃった")
+    assert "kaeQʧaoo" in plain("早く帰っちゃおう")
+    assert "taisakuwa ʃitaQte" in plain("対策はしたって")
+    assert "mamaniwa ʃinai" in plain("ままにはしないわよ")
+    assert "hanaʃiwa hajimekara" in plain("話ははじめからして")
+    assert "midasuN" in plain("乱すんじゃない")
+    assert "mizukaraga" in plain("自らが")
+    assert "futokoroni tobikomoo" in plain("懐に飛び込もう")

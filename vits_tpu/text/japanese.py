@@ -248,7 +248,16 @@ def _verb_forms_add(surf_stem, read_stem, te, nai_row, acc):
     # te / ta. い-onbin forms after an え-row stem mora carry a morpheme
     # boundary so the ei->ee long-vowel merge cannot fire (嘆いて must stay
     # nageite, 稼いで kaseide — not nageete/kaseede)
-    for _sfx in (te, te[:-1] + ("だ" if te[-1] == "で" else "た")):
+    # てしまう contractions ride the te-stem: 待っ+ちゃう, 飲ん+じゃう,
+    # 書い+ちゃう, 食べ+ちゃう (で-te verbs voice to じゃう)
+    _contr = "じゃ" if te[-1] == "で" else "ちゃ"
+    _sfxes = [te, te[:-1] + ("だ" if te[-1] == "で" else "た")]
+    # NOT the bare ちゃ/じゃ (ては-contraction): those 2-mora tails are
+    # particle-like and steal across word boundaries (乱す+ん+じゃない
+    # must not become 乱+すんじゃ+ない via 済んじゃ's kana reading)
+    _sfxes += [te[:-1] + _contr + _end
+               for _end in ("う", "った", "って", "おう")]
+    for _sfx in _sfxes:
         _r = read_stem + _sfx
         if _sfx[0] == "い" and read_stem and read_stem[-1] in _E_ROW:
             _r = read_stem + "|" + _sfx
@@ -682,7 +691,12 @@ def _segment(chunk: str) -> list[tuple[str, str, int | None]]:
                 # 2-mora readings (いま, しょう) would steal okurigana from
                 # verb stems (会い|ましょう); short kana runs still pick up
                 # their accent via the merged-kana _READING_ACCENT lookup.
-                relax(i + ln, 1.1 - 0.01 * ln, ("word", s, _READING_ACCENT[s]))
+                # Readings that BEGIN with a topic/object particle char are
+                # dearer still, so 対策はした splits into は(わ)+した rather
+                # than matching the derived reading はした; a genuine word
+                # like はじまる still beats the per-char fallback.
+                cost = 1.7 if s[0] in "はへを" else 1.1
+                relax(i + ln, cost - 0.01 * ln, ("word", s, _READING_ACCENT[s]))
             if s in _ATTACH:
                 # particles/auxiliaries only attach to a preceding phrase
                 # head; at chunk start (or after a bare-kana run) the kana
