@@ -1217,3 +1217,22 @@ def test_ja_contractions_and_particle_steal_batch30():
     assert "midasuN" in plain("乱すんじゃない")
     assert "mizukaraga" in plain("自らが")
     assert "futokoroni tobikomoo" in plain("懐に飛び込もう")
+
+
+def test_ja_batch31_hou_and_fuu():
+    """Comparative 方が reads ほう after verbs/nouns while polite-person 方は
+    keeps かた; ~方 compounds are unaffected; Xんな風 reads ふう."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert "okuQtahoogaii" in plain("送った方がいい")
+    assert "byooiNnohooga" in plain("病院の方が安心")
+    assert "otokono katawa" in plain("男の方はタカミネ")
+    assert "mikataga" in plain("味方が増えた")
+    assert "tsukaikataga" in plain("使い方が分からない")
+    assert "soNnafuuni" in plain("そんな風に")
+    assert "sedaiga" in plain("世代が違う")
+    assert "saketsutsu" in plain("避けつつ")
+    assert "komudarookara" in plain("混むだろうから")

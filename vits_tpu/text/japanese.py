@@ -450,6 +450,9 @@ _ATTACH = {
     # quotative/topic って (可愛いって言って was falling apart into
     # 可+愛+いって because って could not attach)
     "って": "って", "ってば": "ってば",
+    # comparative 方が reads ほう (送った方がいい, 病院の方が安心);
+    # the polite-person reading keeps 方は/方も (男の方はタカミネ)
+    "方が": "ほうが", "方がいい": "ほうがいい",
     # name suffixes (新海くんは: without these くんは merges into one raw
     # kana token and the topic は cannot read わ)
     "くん": "くん", "さん": "さん", "ちゃん": "ちゃん", "さま": "さま",
