@@ -256,7 +256,7 @@ def _verb_forms_add(surf_stem, read_stem, te, nai_row, acc):
     # particle-like and steal across word boundaries (乱す+ん+じゃない
     # must not become 乱+すんじゃ+ない via 済んじゃ's kana reading)
     _sfxes += [te[:-1] + _contr + _end
-               for _end in ("う", "った", "って", "おう")]
+               for _end in ("う", "った", "って", "おう", "えば")]
     for _sfx in _sfxes:
         _r = read_stem + _sfx
         if _sfx[0] == "い" and read_stem and read_stem[-1] in _E_ROW:
