@@ -783,6 +783,9 @@ _PHRASE_DATA = """
 扫帚 sao4 zhou5
 相声 xiang4 sheng5
 朝阳 chao2 yang2
+钥匙 yao4 shi5
+重启 chong2 qi3
+重启动 chong2 qi3 dong4
 调低 tiao2 di1
 调高 tiao2 gao1
 调大 tiao2 da4
