@@ -1236,3 +1236,20 @@ def test_ja_batch31_hou_and_fuu():
     assert "sedaiga" in plain("世代が違う")
     assert "saketsutsu" in plain("避けつつ")
     assert "komudarookara" in plain("混むだろうから")
+
+
+def test_ja_bare_contraction_batch35():
+    """Bare ては-contractions derive with accent None (動いちゃ駄目 works via
+    the kanji surface) while their kana readings stay out of _READING_ACCENT
+    (乱すんじゃない pinned against the すんじゃ steal)."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert "ugoiʧa dame" in plain("動いちゃ駄目")
+    assert "midasuN" in plain("乱すんじゃない")
+    assert "tasukaru" in plain("助かるよ")
+    assert "keQtoo" in plain("神の血統")
+    assert "okaʃite" in plain("間違いを犯して")
+    assert "koroʃiʧaQta" in plain("殺しちゃった")

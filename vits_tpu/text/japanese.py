@@ -252,11 +252,18 @@ def _verb_forms_add(surf_stem, read_stem, te, nai_row, acc):
     # 書い+ちゃう, 食べ+ちゃう (で-te verbs voice to じゃう)
     _contr = "じゃ" if te[-1] == "で" else "ちゃ"
     _sfxes = [te, te[:-1] + ("だ" if te[-1] == "で" else "た")]
-    # NOT the bare ちゃ/じゃ (ては-contraction): those 2-mora tails are
-    # particle-like and steal across word boundaries (乱す+ん+じゃない
-    # must not become 乱+すんじゃ+ない via 済んじゃ's kana reading)
     _sfxes += [te[:-1] + _contr + _end
                for _end in ("う", "った", "って", "おう", "えば")]
+    # the bare ては-contraction (動いちゃ駄目) is derived with accent None
+    # so its KANA reading never enters _READING_ACCENT — a particle-like
+    # 2-mora tail there steals across word boundaries (乱す+ん+じゃない
+    # must not become 乱+すんじゃ+ない via 済んじゃ's kana reading); the
+    # kanji surface itself still matches as a word
+    _bare = te[:-1] + _contr
+    _rb = read_stem + _bare
+    if _bare[0] == "い" and read_stem and read_stem[-1] in _E_ROW:
+        _rb = read_stem + "|" + _bare
+    _plain_add(surf_stem + _bare, _rb, None)
     for _sfx in _sfxes:
         _r = read_stem + _sfx
         if _sfx[0] == "い" and read_stem and read_stem[-1] in _E_ROW:
