@@ -1253,3 +1253,19 @@ def test_ja_bare_contraction_batch35():
     assert "keQtoo" in plain("神の血統")
     assert "okaʃite" in plain("間違いを犯して")
     assert "koroʃiʧaQta" in plain("殺しちゃった")
+
+
+def test_ja_nda_family_batch36():
+    """Explanatory んだ/んです family attaches (思うんだけど was losing
+    思う to 産んだ's kana reading うんだ); bare よう attaches (探しよう)."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert "omooNdakedo" in plain("とは思うんだけど")
+    assert "sagaʃiyoo" in plain("探しようがない")
+    assert "ikuNdesuka" in plain("行くんですか")
+    assert "yuuseN" in plain("優先しちゃった")
+    assert "ayatsuQte" in plain("操っていたら")
+    assert "saiʃuuteki" in plain("最終的には")

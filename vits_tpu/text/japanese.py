@@ -432,6 +432,14 @@ _ATTACH = {
     # splits よ|うに because bare よ is a particle, reading "yo u ni"
     "ように": "ように", "ような": "ような", "ようで": "ようで",
     "ようです": "ようです", "ようだ": "ようだ", "ようだった": "ようだった",
+    "よう": "よう",
+    # explanatory んだ/んです family (思うんだけど was losing 思う to the
+    # derived kana reading うんだ of 産んだ)
+    "んだ": "んだ", "んだけど": "んだけど", "んだよ": "んだよ",
+    "んだね": "んだね", "んだって": "んだって", "んだろう": "んだろう",
+    "んです": "んです", "んですか": "んですか", "んですけど": "んですけど",
+    "んですが": "んですが", "んじゃない": "んじゃない",
+    "んじゃないか": "んじゃないか", "んじゃ": "んじゃ",
     # hearsay/appearance auxiliaries (できたらしい must not shed its らしい)
     "らしい": "らしい", "らしいです": "らしいです",
     "らしかった": "らしかった", "みたい": "みたい",
