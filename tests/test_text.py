@@ -1269,3 +1269,20 @@ def test_ja_nda_family_batch36():
     assert "yuuseN" in plain("優先しちゃった")
     assert "ayatsuQte" in plain("操っていたら")
     assert "saiʃuuteki" in plain("最終的には")
+
+
+def test_ja_not_i_adj_blocklist():
+    """Na-adjectives/nouns ending in い are excluded from the i-adjective
+    paradigm (嫌い had generated 嫌そう=きらそう, corrupting real 嫌そう=
+    いやそう text); genuine adjectives still inflect."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+    from vits_tpu.text.japanese import _WORDS
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert "iya soona" in plain("嫌そうな顔")
+    assert "kiraijanai" in plain("嫌いじゃない")
+    assert "嫌そう" not in _WORDS and "間違かった" not in _WORDS
+    assert "takakaQta" in plain("高かった")       # real i-adj still derives
+    assert "ureʃisoo" in plain("嬉しそう")

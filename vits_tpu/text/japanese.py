@@ -140,8 +140,21 @@ from vits_tpu.text.kanji_dict import WORDS as _BASE_WORDS, CHARS as _CHAR_READIN
 # adjectives (高い[2] -> 高かった たか↓かった) and stays heiban for [0].
 _I_ADJ_SUFFIXES = ("かった", "くない", "くなかった", "くなければ", "くて",
                    "く", "ければ", "さ", "そう")
+# い-final entries that are NOT i-adjectives (na-adjectives, nouns,
+# auxiliaries): the paradigm would manufacture junk that can corrupt real
+# text — 嫌い generated 嫌そう(きらそう), which then beat 嫌(いや)+そう
+_NOT_I_ADJ = {
+    "嫌い", "大嫌い", "きらい", "きれい", "綺麗", "みたい", "ちょうだい",
+    "くらい", "ぐらい", "いっぱい", "間違い", "勘違い", "気遣い", "出会い",
+    "戦い", "願い", "お願い", "匂い", "想い", "思い", "扱い", "笑い",
+    "迷い", "酔い", "悔い", "報い", "違い", "呪い", "誓い", "狙い",
+    "救い", "問い", "行い", "祝い", "お祝い", "付き合い", "話し合い",
+    "人見知り", "お互い", "互い", "知り合い", "頃合い", "場合い",
+}
 _WORDS: dict[str, tuple[str, int | None]] = dict(_BASE_WORDS)
 for _surf, (_read, _acc) in _BASE_WORDS.items():
+    if _surf in _NOT_I_ADJ:
+        continue
     if (len(_surf) >= 2 and _surf.endswith("い") and _read.endswith("い")
             and len(_read) >= 2):
         for _sfx in _I_ADJ_SUFFIXES:
