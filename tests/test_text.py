@@ -1286,3 +1286,15 @@ def test_ja_not_i_adj_blocklist():
     assert "嫌そう" not in _WORDS and "間違かった" not in _WORDS
     assert "takakaQta" in plain("高かった")       # real i-adj still derives
     assert "ureʃisoo" in plain("嬉しそう")
+
+
+def test_ja_not_verb_blocklist():
+    """Kana interjections/pronouns ending in u-row kana are excluded from
+    the verb paradigm (ありがとう had derived ありがとって, あいつ あいって)."""
+    from vits_tpu.text.japanese import _WORDS
+
+    for junk in ("ありがとって", "おはよって", "あいって", "どういって",
+                 "おめでとって"):
+        assert junk not in _WORDS, junk
+    # real verbs still conjugate
+    assert "もらって" in _WORDS and "かかって" in _WORDS

@@ -303,7 +303,20 @@ def _tai_forms_add(surf_istem, read_istem, acc):
         _plain_add(surf_istem + _sfx, _r, _a)
 
 
+# kana entries that END in a u-row kana but are NOT dictionary-form verbs:
+# interjections, pronouns, adverbs and lexicalized forms. Without this the
+# verb paradigm manufactures ありがとう -> ありがとって, あいつ -> あいって
+_NOT_VERB = {
+    "おはよう", "ありがとう", "おめでとう", "そうです", "だいじょうぶ",
+    "あいつ", "こいつ", "そいつ", "どいつ", "どういう", "そういう",
+    "こういう", "ああいう", "している", "もう", "すぐ", "こう", "そう",
+    "どう", "いつ", "いくつ", "ふつう", "べつ", "やつ", "こいつら",
+    "あいつら", "ずつ", "かつ",
+}
+
 for _surf, (_read, _acc) in _DERIVE_BASE:
+    if _surf in _NOT_VERB:
+        continue
     if (len(_surf) >= 2 and len(_read) >= 2
             and _surf[-1] in _GODAN_STEM and _read[-1] == _surf[-1]
             and not _surf.endswith("ない") and not _surf.endswith("たい")
