@@ -900,7 +900,7 @@ def test_ja_keigo_register_batch10():
     assert "mooʃiwakegozaimaseN" in plain("申し訳ございません")
     assert "saseteitadakimasu" in plain("変更させていただきます")
     assert "ukagaQte" in plain("伺っても")
-    assert "osore hairimasuga" in plain("恐れ入りますが")
+    assert "osoreirimasuga" in plain("恐れ入りますが")  # correct irimasu reading
 
 
 def test_ja_travel_register_batch11():
@@ -1298,3 +1298,26 @@ def test_ja_not_verb_blocklist():
         assert junk not in _WORDS, junk
     # real verbs still conjugate
     assert "もらって" in _WORDS and "かかって" in _WORDS
+
+
+def test_ja_godan_ru_and_suru_paradigm():
+    """Godan る-verbs with i/e-row reading penult (走る/帰る/切る/喋る class,
+    incl. compounds like 恐れ入る) conjugate godan-style; する's paradigm is
+    explicit (しない/したい lost their accidental supplier when 知る's junk
+    ichidan forms were removed); 恐れ入る carries the internal え+い
+    boundary through every derived form."""
+    from vits_tpu.text.japanese import _WORDS, japanese_to_romaji_with_accent as jro
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert "ʃaberanaide" in plain("大声で喋らないで")
+    assert "haʃiQte" in plain("廊下を走って")
+    assert "kaeQtara" in plain("家に帰ったら")
+    assert "kiQtekudasai" in plain("電源を切ってください")
+    assert "ʃiranaifurio" in plain("知らないふりを")
+    assert "hairimasu" in plain("お風呂に入ります")
+    assert "osoreirimasuga" in plain("恐れ入りますが")   # not osoree...
+    assert "tabi ʃitai" in plain("旅したい")
+    assert "ʃinaiwayo" in plain("ままにはしないわよ")
+    assert "喋ない" not in _WORDS and "走て" not in _WORDS

@@ -206,6 +206,13 @@ def _is_polite_masu(surf: str, read: str) -> bool:
             and len(read) >= 3 and read[-3] in _IE_ROW)
 
 
+# compound-verb base readings with an internal ãˆ-row + ã„ morpheme
+# boundary: mark it BEFORE derivation so every derived form (æã‚Œå…¥ã‚Šã¾ã™)
+# carries the sentinel and the ei->ee merge cannot fire (ãŠãã‚Œ|ã„ã‚Šã¾ã™)
+for _surf, _marked in (("æã‚Œå…¥ã‚‹", "ãŠãã‚Œ|ã„ã‚‹"),):
+    if _surf in _WORDS:
+        _WORDS[_surf] = (_marked, _WORDS[_surf][1])
+
 # Derivation passes run over ONE snapshot (base + i-adjective paradigm):
 # deriving from already-derived forms manufactures junk (ã—ã¦ã„ã¾ã—ã‚‡ã† is
 # not a godan ã†-verb; ãŠã¯ã‚ˆã†ã”ã–ã„ã¾ã™ is not a ã™-verb to conjugate).
@@ -246,6 +253,7 @@ _GODAN_POT = {"ã†": "ãˆ", "ã": "ã‘", "ã": "ã’", "ã™": "ã›", "ã¤": "ã
 
 
 def _moras_len(read: str) -> int:
+    read = read.replace("|", "")
     return len(read) - sum(read.count(c) for c in "ã‚ƒã‚…ã‚‡")
 
 
@@ -314,6 +322,18 @@ _NOT_VERB = {
     "ã‚ã„ã¤ã‚‰", "ãšã¤", "ã‹ã¤",
 }
 
+# godan verbs ending ã‚‹ whose reading penult is i/e-row (the ichidan
+# heuristic misfires): surface suffixes disambiguate â€” åˆ‡ã‚‹(ãã‚‹) is godan
+# while ç€ã‚‹(ãã‚‹) is ichidan. Compounds (æ€ã„åˆ‡ã‚‹) match by endswith.
+_GODAN_RU = (
+    "å¸°ã‚‹", "è¿”ã‚‹", "å…¥ã‚‹", "åˆ‡ã‚‹", "çŸ¥ã‚‹", "èµ°ã‚‹", "è¦ã‚‹", "å–‹ã‚‹",
+    "ç„¦ã‚‹", "é™ã‚‹", "æ¡ã‚‹", "å‚ã‚‹", "æ»‘ã‚‹", "è¹´ã‚‹", "æ¸›ã‚‹", "ç…§ã‚‹",
+    "æ•£ã‚‹", "ç½µã‚‹", "é®ã‚‹", "é™¥ã‚‹", "è˜‡ã‚‹", "å˜²ã‚‹", "å¼„ã‚‹", "æ»ã‚‹",
+    "æ¹¿ã‚‹", "èŒ‚ã‚‹", "éã‚‹", "é½§ã‚‹", "ã¯ã—ã‚‹", "ã—ã‚ƒã¹ã‚‹", "ã³ã³ã‚‹",
+    "ã•ã¼ã‚‹", "ã„ã˜ã‚‹", "ã‹ã˜ã‚‹", "ã—ãã˜ã‚‹", "ã‚€ã—ã‚‹", "ãƒ“ãƒ“ã‚‹",
+    "ã‚µãƒœã‚‹",
+)
+
 for _surf, (_read, _acc) in _DERIVE_BASE:
     if _surf in _NOT_VERB:
         continue
@@ -322,7 +342,8 @@ for _surf, (_read, _acc) in _DERIVE_BASE:
             and not _surf.endswith("ãªã„") and not _surf.endswith("ãŸã„")
             and not _surf.endswith("ã‚‡ã†")
             and not _is_polite_masu(_surf, _read)):
-        if _surf[-1] == "ã‚‹" and _read[-2] in _IE_ROW:
+        if (_surf[-1] == "ã‚‹" and _read[-2] in _IE_ROW
+                and not _surf.endswith(_GODAN_RU)):
             # ichidan: é£Ÿã¹ã‚‹ -> é£Ÿã¹ã¦/é£Ÿã¹ãŸ/é£Ÿã¹ãªã„/é£Ÿã¹ãŸã„; stem é£Ÿã¹;
             # potential/passive é£Ÿã¹ã‚‰ã‚Œã‚‹ (+ its own ã¦/polite forms)
             _verb_forms_add(_surf[:-1], _read[:-1], "ã¦", "", _acc)
@@ -728,6 +749,13 @@ def _segment(chunk: str) -> list[tuple[str, str, int | None]]:
                 if not kana_after_kanji:
                     read, acc = _WORDS[s]
                     relax(i + ln, 1.0 - 0.01 * ln, ("word", read, acc))
+                elif ln >= 3:
+                    # pure-kana word right after a bare kanji: usually the
+                    # kanji's okurigana, but a long match (æ—…ã—ãŸã„ ->
+                    # ã—ãŸã„) is likelier a real word â€” allow it at the
+                    # kana-spelling price
+                    read, acc = _WORDS[s]
+                    relax(i + ln, 1.1 - 0.01 * ln, ("word", read, acc))
             elif ln >= 3 and s in _READING_ACCENT:
                 # kana spelling of a lexicon word (ãŒã£ã“ã† for å­¦æ ¡):
                 # slightly dearer than a surface match, far cheaper than
