@@ -487,6 +487,9 @@ _ATTACH = {
     "んです": "んです", "んですか": "んですか", "んですけど": "んですけど",
     "んですが": "んですが", "んじゃない": "んじゃない",
     "んじゃないか": "んじゃないか", "んじゃ": "んじゃ",
+    "んでしょ": "んでしょ", "んでしょう": "んでしょう",
+    # conjunctive/suru-stem し (あるし / 破壊し終わる — both read し)
+    "し": "し",
     # hearsay/appearance auxiliaries (できたらしい must not shed its らしい)
     "らしい": "らしい", "らしいです": "らしいです",
     "らしかった": "らしかった", "みたい": "みたい",
