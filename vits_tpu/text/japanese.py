@@ -348,7 +348,9 @@ for _surf, (_read, _acc) in _DERIVE_BASE:
             # potential/passive 食べられる (+ its own て/polite forms)
             _verb_forms_add(_surf[:-1], _read[:-1], "て", "", _acc)
             _tai_forms_add(_surf[:-1], _read[:-1], _acc)
-            if len(_surf) >= 2:
+            # bare ichidan stem as a word — but never a SINGLE kana: 居る's
+            # stem い dismembered every ない into な+い with a phrase break
+            if len(_surf) >= 3:
                 _plain_add(_surf[:-1], _read[:-1], None)
             _pot_s, _pot_r = _surf[:-1] + "られ", _read[:-1] + "られ"
             _pa = _acc if _acc in (None, 0) else _moras_len(_pot_r + "る") - 1
@@ -490,6 +492,8 @@ _ATTACH = {
     "んでしょ": "んでしょ", "んでしょう": "んでしょう",
     # conjunctive/suru-stem し (あるし / 破壊し終わる — both read し)
     "し": "し",
+    # negative auxiliary after words (なんでもない, 黙ってない)
+    "ない": "ない", "なかった": "なかった",
     # hearsay/appearance auxiliaries (できたらしい must not shed its らしい)
     "らしい": "らしい", "らしいです": "らしいです",
     "らしかった": "らしかった", "みたい": "みたい",
