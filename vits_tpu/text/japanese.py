@@ -513,7 +513,8 @@ _ATTACH = {
     "なんて": "なんて", "なんか": "なんか",
     "ねぇ": "ねえ", "ねえ": "ねえ", "かつ": "かつ",
     "かしら": "かしら", "なく": "なく",
-    "だろ": "だろ", "だろう": "だろう", "ちょうだい": "ちょうだい",
+    "だろ": "だろ", "だろう": "だろう", "だったら": "だったら",
+    "でしたら": "でしたら", "ちょうだい": "ちょうだい",
     # volume auxiliary まくる (撮りまくって attaches to the masu-stem)
     "まくる": "まくる", "まくって": "まくって", "まくり": "まくり",
     # quotative/topic って (可愛いって言って was falling apart into
