@@ -464,6 +464,7 @@ _ATTACH = {
     "のに": "のに", "ので": "ので", "けど": "けど", "けれど": "けれど",
     "でも": "でも", "では": "でわ", "には": "にわ", "とは": "とわ",
     "です": "です", "でした": "でした", "でしょう": "でしょう",
+    "でしょ": "でしょ",
     "ます": "ます", "ました": "ました", "ません": "ません",
     "ましょう": "ましょう", "ください": "ください",
     "だ": "だ", "だった": "だった", "じゃない": "じゃない",
@@ -897,7 +898,7 @@ def _segment(chunk: str) -> list[tuple[str, str, int | None]]:
 # across. Sino-Japanese てい words (ていど, ていねい) continue with moras
 # outside this set and keep the merge.
 _TE_I_BOUNDARY = re.compile(
-    r"([てで])(い(?:る|れば|ます|まし|ませ|た|て|な|き(?![ゃゅょ])|く|ただ|らっしゃ))"
+    r"([てで])(い(?:る|れば|ます|まし|ませ|た|て|な|き(?![ゃゅょ])|く|ただ|らっしゃ|う))"
 )
 
 # attach readings concatenate raw into the phrase string, so a て/で + い-aux
@@ -932,6 +933,7 @@ def _assemble_phrases(
         "しまいます", "しまった", "しまいました", "しまって", "みる",
         "みます", "ください", "くる",
         "きます", "きた", "いく", "いきます",
+        "いう", "いうか",  # quotative って+いう (boundary stops the ee merge)
     )
 
     for kind, read, acc in tokens:
