@@ -210,7 +210,8 @@ def _is_polite_masu(surf: str, read: str) -> bool:
 # boundary: mark it BEFORE derivation so every derived form (恐れ入ります)
 # carries the sentinel and the ei->ee merge cannot fire (おそれ|いります)
 for _surf, _marked in (("恐れ入る", "おそれ|いる"), ("おうち", "お|うち"),
-                       ("聖遺物", "せい|いぶつ")):
+                       ("聖遺物", "せい|いぶつ"),
+                       ("受け入れる", "うけ|いれる")):
     if _surf in _WORDS:
         _WORDS[_surf] = (_marked, _WORDS[_surf][1])
 
