@@ -1339,3 +1339,18 @@ def test_ja_nai_not_dismembered_batch42():
     assert "damaQtenai" in plain("黙ってない")
     assert "い" not in _WORDS or _WORDS.get("い") is None or True
     assert plain("ここに居てください") == "kokoni itekudasai"
+
+
+def test_ja_komu_compounds_batch50():
+    """The 〜込む compound-verb family conjugates correctly (X込んだ was
+    segmenting as masu-stem + んだ, reading kominda)."""
+    from vits_tpu.text.japanese import japanese_to_romaji_with_accent as jro
+
+    def plain(s):
+        return jro(s).replace("↑", "").replace("↓", "")
+
+    assert "tsurekoNda" in plain("連れ込んだでしょ")
+    assert "nekoNda" in plain("寝込んだ")
+    assert "ʃinobikoNda" in plain("忍び込んだ")
+    assert "makikomareta" in plain("巻き込まれた")
+    assert "suikoNde" in plain("吸い込んで")
