@@ -299,7 +299,7 @@ def _verb_forms_add(surf_stem, read_stem, te, nai_row, acc):
         for _sfx, _back in (("ない", 2), ("なかった", 4), ("なければ", 4),
                             ("ないで", 3), ("ず", 1), ("ずに", 2),
                             ("なきゃ", 2), ("なくちゃ", 3), ("ん", 1),
-                            ("なくて", 3)):
+                            ("なくて", 3), ("ねぇ", 2), ("ねえ", 2)):
             _r = read_stem + nai_row + _sfx
             _a = acc if acc in (None, 0) else _moras_len(_r) - _back
             _plain_add(surf_stem + nai_row + _sfx, _r, _a)
