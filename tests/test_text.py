@@ -641,7 +641,7 @@ def test_ja_sentence_goldens_round3():
         "[JA]彼は25歳で、身長は180センチです。[JA]":
             "ka↓ɾewa n^i↑dʑɯɯgosaide, ʃi↑n^tʃoowa ça↑kɯhatʃidʑɯɯsen^tʃidesɯ.",
         "[JA]パスワードを入力してログインしてください。[JA]":
-            "pa↑sɯwa↓adoo n^ɯ↑ɯɾjokɯ ʃi↑te ɾo↑gɯi↓N ʃi↑tekɯdasai.",
+            "pa↑sɯwa↓adoo n^ɯ↑ɯɾjokɯʃite ɾo↑gɯi↓Nʃitekɯdasai.",
     }
     for src, want in cases.items():
         got, _ = clean_text(src)

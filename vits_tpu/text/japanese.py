@@ -495,6 +495,11 @@ _ATTACH = {
     "んでしょ": "んでしょ", "んでしょう": "んでしょう",
     # conjunctive/suru-stem し (あるし / 破壊し終わる — both read し)
     "し": "し",
+    # conditional copula なら (私なら was splitting な+ら, 259 corpus hits)
+    "なら": "なら", "ならば": "ならば",
+    # suru-te forms after nouns (通報して was severing at し)
+    "して": "して", "しても": "しても", "したら": "したら",
+    "しては": "しては", "してる": "してる", "してた": "してた",
     # negative auxiliary after words (なんでもない, 黙ってない)
     "ない": "ない", "なかった": "なかった",
     # hearsay/appearance auxiliaries (できたらしい must not shed its らしい)
