@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from vits_tpu.models.synthesizer import SynthesizerTrn
-from vits_tpu.models.avocodo import AvocodoDiscriminator
+from vits_tpu.models.avocodo import AvocodoDiscriminator, probe_discriminator
 from vits_tpu.models.duration import StochasticDurationPredictor
 from vits_tpu.models.hifigan import HiFiGANGenerator
 
@@ -38,6 +38,13 @@ TINY = dict(
     yin_shift_range=15,
     n_speakers=3,
     gin_channels=16,
+    # compile-size knobs (flagship depths are parity-tested per-module in
+    # test_torch_parity; these tests exercise graph wiring)
+    posterior_layers=2,
+    flow_n_flows=2,
+    flow_wn_layers=1,
+    dur_n_flows=1,
+    yin_dec_layers=2,
 )
 
 
@@ -131,7 +138,7 @@ def test_hifigan_hier_lengths():
 
 
 def test_avocodo_discriminator_shapes():
-    m = AvocodoDiscriminator()
+    m = probe_discriminator()
     rng = np.random.default_rng(0)
     b, t = 2, 8192
     y = jnp.asarray(rng.standard_normal((2 * b, t, 1)) * 0.1, jnp.float32)

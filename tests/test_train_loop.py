@@ -77,6 +77,12 @@ TINY_CONFIG = {
         "yin_start": 15,
         "yin_scope": 50,
         "yin_shift_range": 15,
+        "posterior_layers": 2,
+        "flow_n_flows": 1,
+        "flow_wn_layers": 1,
+        "dur_n_flows": 1,
+        "yin_dec_layers": 2,
+        "discriminator_size": "probe",
     },
 }
 

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from vits_tpu.config import HParams
 from vits_tpu.models.synthesizer import SynthesizerTrn
-from vits_tpu.models.avocodo import AvocodoDiscriminator
+from vits_tpu.models.avocodo import AvocodoDiscriminator, probe_discriminator
 from vits_tpu.training.step import (
     TrainState,
     create_train_state,
@@ -47,6 +47,11 @@ TINY = dict(
     upsample_kernel_sizes=[16, 16, 4, 4],
     yin_channels=80, yin_start=15, yin_scope=50, yin_shift_range=15,
     n_speakers=3, gin_channels=16,
+    # compile-size knobs: structurally complete, minimally deep (the
+    # flagship depths are covered by test_torch_parity's module-level
+    # parity tests; the step-level tests exercise wiring, not width)
+    posterior_layers=2, flow_n_flows=1, flow_wn_layers=1,
+    dur_n_flows=1, yin_dec_layers=2,
 )
 
 
@@ -68,7 +73,7 @@ def _make_batch(b=2, tx=9, ty=16):
 @pytest.fixture(scope="module")
 def setup():
     model = SynthesizerTrn(**TINY)
-    disc = AvocodoDiscriminator()
+    disc = probe_discriminator()
     optim_g = make_optimizer(HPS, steps_per_epoch=10)
     optim_d = make_optimizer(HPS, steps_per_epoch=10)
     batch = _make_batch()
@@ -197,7 +202,7 @@ def test_train_step_bf16_finite():
     v5e at batch 16 x 400 frames; loss math stays f32 at the boundaries.)
     """
     model = SynthesizerTrn(**TINY, bf16=True)
-    disc = AvocodoDiscriminator(bf16=True)
+    disc = probe_discriminator(bf16=True)
     optim_g = make_optimizer(HPS, steps_per_epoch=10)
     optim_d = make_optimizer(HPS, steps_per_epoch=10)
     batch = _make_batch()
@@ -230,7 +235,7 @@ def test_nan_guard_skips_bad_update():
         data=HPS.data,
     )
     model = SynthesizerTrn(**TINY)
-    disc = AvocodoDiscriminator()
+    disc = probe_discriminator()
     optim_g = make_optimizer(hps, steps_per_epoch=10)
     optim_d = make_optimizer(hps, steps_per_epoch=10)
     batch = _make_batch()
@@ -276,7 +281,7 @@ def test_remat_matches_plain_step():
         data=HPS.data,
     )
     model = SynthesizerTrn(**TINY)
-    disc = AvocodoDiscriminator()
+    disc = probe_discriminator()
     optim_g = make_optimizer(HPS, steps_per_epoch=10)
     optim_d = make_optimizer(HPS, steps_per_epoch=10)
     batch = _make_batch()

@@ -105,4 +105,12 @@ def synthesizer_kwargs(hps: HParams, num_chars: int) -> dict:
         sampling_rate=hps.data.sampling_rate,
         filter_length=hps.data.filter_length,
         hop_length=hps.data.hop_length,
+        # optional depth knobs (flagship defaults match the reference's
+        # hard-coded 16/4/4/4/4; small test/probe configs override them to
+        # bound XLA compile time)
+        posterior_layers=int(hps.model.get("posterior_layers", 16)),
+        flow_n_flows=int(hps.model.get("flow_n_flows", 4)),
+        flow_wn_layers=int(hps.model.get("flow_wn_layers", 4)),
+        dur_n_flows=int(hps.model.get("dur_n_flows", 4)),
+        yin_dec_layers=int(hps.model.get("yin_dec_layers", 4)),
     )

@@ -11,6 +11,7 @@ Channels-last [B, T, C] throughout.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Sequence
 
 import jax
@@ -61,28 +62,64 @@ class CoMBDBlock(nn.Module):
         return x_r, x_g, fmap_r, fmap_g
 
 
-_COMBD_H_U = [16, 64, 256, 1024, 1024, 1024]
-_COMBD_D_K = [[7, 11, 11, 11, 11, 5], [11, 21, 21, 21, 21, 5], [15, 41, 41, 41, 41, 5]]
-_COMBD_D_S = [1, 1, 4, 4, 4, 1]
-_COMBD_D_D = [1, 1, 1, 1, 1, 1]
-_COMBD_D_G = [1, 4, 16, 64, 256, 1]
-_COMBD_D_P = [[3, 5, 5, 5, 5, 2], [5, 10, 10, 10, 10, 2], [7, 20, 20, 20, 20, 2]]
+@dataclasses.dataclass(frozen=True)
+class CoMBDConfig:
+    """CoMBD dimensions. Defaults are the reference's hard-coded flagship
+    values (Avocodo.py:87-100); the reference offers no way to build a
+    smaller one — parameterized here so probe/test configs can compile a
+    structurally identical but tiny discriminator."""
+
+    h_u: tuple = (16, 64, 256, 1024, 1024, 1024)
+    d_k: tuple = (
+        (7, 11, 11, 11, 11, 5),
+        (11, 21, 21, 21, 21, 5),
+        (15, 41, 41, 41, 41, 5),
+    )
+    d_s: tuple = (1, 1, 4, 4, 4, 1)
+    d_d: tuple = (1, 1, 1, 1, 1, 1)
+    d_g: tuple = (1, 4, 16, 64, 256, 1)
+    d_p: tuple = (
+        (3, 5, 5, 5, 5, 2),
+        (5, 10, 10, 10, 10, 2),
+        (7, 20, 20, 20, 20, 2),
+    )
+    op_f: int = 1
+    op_k: int = 3
+    op_g: int = 1
+    pqmf_lv2: tuple = (4, 192, 0.13, 10.0)
+    pqmf_lv1: tuple = (2, 256, 0.25, 10.0)
+
+
+COMBD_FLAGSHIP = CoMBDConfig()
+# ~16-channel 2-layer blocks: same structure (3 scales, grouped strided
+# convs, projection), minimal compiled-graph size for probes and CI.
+COMBD_PROBE = CoMBDConfig(
+    h_u=(8, 16),
+    d_k=((7, 5), (11, 5), (15, 5)),
+    d_s=(4, 1),
+    d_d=(1, 1),
+    d_g=(1, 1),
+    d_p=((3, 2), (5, 2), (7, 2)),
+)
 
 
 class CoMBD(nn.Module):
     """3 blocks over hierarchical scales with PQMF multi-scale projections of
     the final output (reference Avocodo.py:78-190)."""
 
+    cfg: CoMBDConfig = COMBD_FLAGSHIP
+
     def setup(self):
-        self.pqmf_lv2 = PQMF(4, 192, 0.13, 10.0)
-        self.pqmf_lv1 = PQMF(2, 256, 0.25, 10.0)
+        c = self.cfg
+        self.pqmf_lv2 = PQMF(*c.pqmf_lv2)
+        self.pqmf_lv1 = PQMF(*c.pqmf_lv1)
         self.blocks = [
             CoMBDBlock(
-                _COMBD_H_U, _COMBD_D_K[i], _COMBD_D_S, _COMBD_D_D,
-                _COMBD_D_G, _COMBD_D_P[i], op_f=1, op_k=3, op_g=1,
+                c.h_u, c.d_k[i], c.d_s, c.d_d,
+                c.d_g, c.d_p[i], op_f=c.op_f, op_k=c.op_k, op_g=c.op_g,
                 name=f"block_{i}",
             )
-            for i in range(3)
+            for i in range(len(c.d_k))
         ]
 
     def __call__(self, ys, ys_hat):
@@ -160,42 +197,56 @@ class SBDBlock(nn.Module):
         return x[:half], x[half:], fmap_r, fmap_g
 
 
-class _SBDConfig:
-    """Hard-coded MDCD config (reference Avocodo.py:302-324)."""
+@dataclasses.dataclass(frozen=True)
+class SBDConfig:
+    """MDCD config. Defaults are the reference's hard-coded flagship values
+    (Avocodo.py:302-324); parameterized for tiny probe/test builds."""
 
-    pqmf_params = (16, 256, 0.03, 10.0)
-    f_pqmf_params = (64, 256, 0.1, 9.0)
-    filters = [
-        [64, 128, 256, 256, 256],
-        [64, 128, 256, 256, 256],
-        [64, 128, 256, 256, 256],
-        [32, 64, 128, 128, 128],
-    ]
-    kernel_sizes = [
-        [[7, 7, 7]] * 5,
-        [[5, 5, 5]] * 5,
-        [[3, 3, 3]] * 5,
-        [[5, 5, 5]] * 5,
-    ]
-    dilations = [
-        [[5, 7, 11]] * 5,
-        [[3, 5, 7]] * 5,
-        [[1, 2, 3]] * 5,
-        [[1, 2, 3], [1, 2, 3], [1, 2, 3], [2, 3, 5], [2, 3, 5]],
-    ]
-    strides = [[1, 1, 3, 3, 1]] * 4
-    band_ranges = [[0, 6], [0, 11], [0, 16], [0, 64]]
-    transpose = [False, False, False, True]
-    segment_size = 8192
+    pqmf_params: tuple = (16, 256, 0.03, 10.0)
+    f_pqmf_params: tuple = (64, 256, 0.1, 9.0)
+    filters: tuple = (
+        (64, 128, 256, 256, 256),
+        (64, 128, 256, 256, 256),
+        (64, 128, 256, 256, 256),
+        (32, 64, 128, 128, 128),
+    )
+    kernel_sizes: tuple = (
+        ((7, 7, 7),) * 5,
+        ((5, 5, 5),) * 5,
+        ((3, 3, 3),) * 5,
+        ((5, 5, 5),) * 5,
+    )
+    dilations: tuple = (
+        ((5, 7, 11),) * 5,
+        ((3, 5, 7),) * 5,
+        ((1, 2, 3),) * 5,
+        ((1, 2, 3), (1, 2, 3), (1, 2, 3), (2, 3, 5), (2, 3, 5)),
+    )
+    strides: tuple = ((1, 1, 3, 3, 1),) * 4
+    band_ranges: tuple = ((0, 6), (0, 11), (0, 16), (0, 64))
+    transpose: tuple = (False, False, False, True)
+    segment_size: int = 8192
+
+
+SBD_FLAGSHIP = SBDConfig()
+# Same 4-band structure (3 time-band discs + 1 transposed frequency disc),
+# 2 MDC layers of 8 channels and a single dilation branch each.
+SBD_PROBE = SBDConfig(
+    filters=((8, 8),) * 4,
+    kernel_sizes=(((3,), (3,)),) * 4,
+    dilations=(((1,), (1,)),) * 4,
+    strides=((1, 3),) * 4,
+)
 
 
 class SBD(nn.Module):
     """Sub-band discriminator over PQMF time bands + transposed frequency
     bands (reference Avocodo.py:327-395)."""
 
+    cfg: SBDConfig = SBD_FLAGSHIP
+
     def setup(self):
-        cfg = _SBDConfig
-        self.config = cfg
+        cfg = self.cfg
         self.pqmf = PQMF(*cfg.pqmf_params)
         self.f_pqmf = PQMF(*cfg.f_pqmf_params)
         discs = []
@@ -207,7 +258,7 @@ class SBD(nn.Module):
         self.discriminators = discs
 
     def __call__(self, y, y_hat):
-        cfg = self.config
+        cfg = self.cfg
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         y_in = self.pqmf.analysis(y)        # [B, T/16, 16]
         y_hat_in = self.pqmf.analysis(y_hat)
@@ -241,10 +292,12 @@ class AvocodoDiscriminator(nn.Module):
     use_spectral_norm: bool = False  # reference config has False; spectral
     # norm variant not carried (unused dead knob in the shipped config)
     bf16: bool = False  # conv stacks in bfloat16; loss math casts back to f32
+    combd_cfg: CoMBDConfig = COMBD_FLAGSHIP
+    sbd_cfg: SBDConfig = SBD_FLAGSHIP
 
     def setup(self):
-        self.combd = CoMBD(name="combd")
-        self.sbd = SBD(name="sbd")
+        self.combd = CoMBD(self.combd_cfg, name="combd")
+        self.sbd = SBD(self.sbd_cfg, name="sbd")
 
     def __call__(self, y, ys_hat):
         if self.bf16:
@@ -263,3 +316,11 @@ class AvocodoDiscriminator(nn.Module):
             fmap_c_rs + fmap_s_rs,
             fmap_c_gs + fmap_s_gs,
         )
+
+
+def probe_discriminator(**kwargs) -> AvocodoDiscriminator:
+    """Structurally identical, minimally sized discriminator for compile-time
+    -bounded probes (driver dryrun) and CI."""
+    return AvocodoDiscriminator(
+        combd_cfg=COMBD_PROBE, sbd_cfg=SBD_PROBE, **kwargs
+    )

@@ -75,6 +75,12 @@ class SynthesizerTrn(nn.Module):
     # (reference hard-codes 16, SynthesizerTrn.py:122-136; exposed so tiny
     # probe/test configs can compile a structurally identical but smaller
     # program — XLA compile time scales with unrolled graph size)
+    flow_n_flows: int = 4       # coupling+flip pairs in the flow
+    flow_wn_layers: int = 4     # WaveNet depth inside each coupling layer
+    dur_n_flows: int = 4        # ConvFlow spline stages in the SDP
+    yin_dec_layers: int = 4     # WaveNet depth of the yin decoder
+    # (all four reference-hard-coded at 4: SynthesizerTrn.py:138-156;
+    # exposed for the same compile-size reason as posterior_layers)
     bf16: bool = False  # bfloat16 compute in the HBM/FLOP-heavy submodules
     # (posterior WaveNet stacks + HiFi-GAN decoder); flows, MAS, duration,
     # sampling and all loss-facing stats stay float32
@@ -120,15 +126,17 @@ class SynthesizerTrn(nn.Module):
         self.flow = ResidualCouplingBlock(
             self.inter_channels,
             self.hidden_channels,
-            5, 1, 4,
+            5, 1, self.flow_wn_layers,
+            n_flows=self.flow_n_flows,
             gin_channels=self.gin_channels,
         )
         self.duration_predictor = StochasticDurationPredictor(
-            self.hidden_channels, 192, 3, 0.5, 4, gin_channels=self.gin_channels
+            self.hidden_channels, 192, 3, 0.5, self.dur_n_flows,
+            gin_channels=self.gin_channels,
         )
         self.yin_decoder = YingDecoder(
             self.yin_scope,
-            5, 1, 4,
+            5, 1, self.yin_dec_layers,
             self.yin_start,
             self.yin_scope,
             self.yin_shift_range,

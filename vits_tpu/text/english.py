@@ -284,16 +284,63 @@ def _lexicon_lookup(word: str) -> str | None:
     return None
 
 
+# nucleus tokens for syllabification (diphthongs before monophthongs)
+_NUCLEI = re.compile(r"eɪ|aɪ|oʊ|aʊ|ɔɪ|[iuɪʊɛæɑɔəɜ]")
+
+# legal English syllable onsets (clusters; any single consonant is legal)
+_LEGAL_ONSETS = frozenset(
+    "pl pr bl br tr dr kr kl gr gl fr fl fj θr θw sl sm sn sp st sk sw tw "
+    "dw kw gw ʃr vj pj bj tj dj kj mj nj lj hj sf "
+    "spr str skr spl skw spj stj skj".split()
+)
+
+
+def _add_default_stress(ipa: str) -> str:
+    """Give a stressless LTS output a primary stress mark (eng_to_ipa marks
+    stress in every polysyllable; a stressless polysyllable reads flat and
+    is outside the reference distribution). Suffix-aware placement:
+    -tion/-sion and -ic stress the preceding syllable, -ity/-ology/-ography
+    the antepenult; everything else defaults to initial stress."""
+    if "ˈ" in ipa or "ˌ" in ipa:
+        return ipa
+    nuclei = list(_NUCLEI.finditer(ipa))
+    if len(nuclei) < 2:
+        return ipa
+    k = 0
+    if re.search(r"(ʃ|ʒ)ən$", ipa) or ipa.endswith(("ɪk", "əns", "ɪʃəs")):
+        k = len(nuclei) - 2
+    elif re.search(r"([ɪə]ti|ədʒi|əfi|əmi|əni)$", ipa):
+        k = max(len(nuclei) - 3, 0)
+    start = nuclei[k].start()
+    if k == 0:
+        return "ˈ" + ipa
+    # onset: take the longest phonotactically legal cluster before the
+    # stressed nucleus (kwɪksɑtɪk -> kwɪk.ˈsɑ, not kwɪ.ˈksɑ)
+    prev_end = nuclei[k - 1].end()
+    cluster = ipa[prev_end:start]
+    onset = len(cluster)
+    while onset > 1 and cluster[-onset:] not in _LEGAL_ONSETS:
+        onset -= 1
+    return ipa[: start - onset] + "ˈ" + ipa[start - onset:]
+
+
 def _letter_to_sound(word: str) -> str:
     """Rule-of-thumb grapheme-to-phoneme; last resort for OOV words."""
     out = ""
     i = 0
     w = word
+    if w.startswith("x"):
+        # word-initial x reads /z/ (xylophone, xenon, xerox); the greek
+        # xy- prefix keeps its long vowel (the uppercase sentinel is the
+        # magic-e long-vowel convention of the rule table)
+        w = ("zI" + w[2:]) if w.startswith("xy") else ("z" + w[1:])
     if w.startswith(("gn", "ps", "pn", "mn")) and len(w) > 3:
         w = w[1:]  # silent initial letter (gnome, pseudo, pneumonia)
+    if w.startswith("mc"):
+        w = "mək" + w[2:]  # mcdonald, mcguffin
     if w.endswith("ture") and len(w) > 4:
         # handle before the magic-e strip would turn it into tUr -> tjur
-        return _letter_to_sound(w[:-4]) + "ʧəɹ"
+        return _add_default_stress(_letter_to_sound(w[:-4]) + "ʧəɹ")
     # silent final e lengthens the previous vowel (magic e: blaze -> bleɪz,
     # glide -> glaɪd); uppercase marks the long vowel for the rule table.
     # Keep the e after soft c/g so the dge/ce/ge rules fire (bridge, office)
@@ -341,7 +388,7 @@ def _letter_to_sound(word: str) -> str:
             out += w[i]
             i += 1
     # doubled consonant letters are one sound (umbrella, thrapple)
-    return re.sub(r"([bdfgklmnprstvz])\1", r"\1", out)
+    return _add_default_stress(re.sub(r"([bdfgklmnprstvz])\1", r"\1", out))
 
 
 def _text_to_ipa_backend(text: str) -> str:

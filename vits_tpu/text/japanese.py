@@ -687,10 +687,14 @@ def _counter_reading(digits: str, counter: str) -> str:
     if head in _GEMINATING:
         if num.endswith("いち"):
             return num[:-2] + "いっ" + base
-        if num.endswith("はち") and head in "かきくけこ":
+        # はち/じゅう assimilate before k/s/t rows (八歳 hassai, 十冊
+        # jussatsu, 十個 jukko); ろく before the k-row only (六個 rokko)
+        if num.endswith("はち") and head in "かきくけこさしすせそたちつてと":
             return num[:-2] + "はっ" + base
-        if num.endswith("じゅう") and head in "かきくけこ":
+        if num.endswith("じゅう") and head in "かきくけこさしすせそたちつてと":
             return num[:-3] + "じゅっ" + base
+        if num.endswith("ろく") and head in "かきくけこ":
+            return num[:-2] + "ろっ" + base
     return num + base
 
 
@@ -897,7 +901,48 @@ def _segment(chunk: str) -> list[tuple[str, str, int | None]]:
             if kind == "kana":
                 acc = _READING_ACCENT.get(read)
             merged.append((kind, read, acc))
+    # on-reading juncture sokuon for OOV kanji compounds assembled from
+    # per-character fallbacks: 特許 toku+kyo -> tokkyo, 仏教 butsu+kyou ->
+    # bukkyou, 物価 butsu+ka -> bukka (pyopenjtalk resolves these through
+    # NAIST-jdic; the fallback applies the productive phonological rule,
+    # reference text/japanese.py:36-49 only rewrites already-written っ)
+    for k in range(len(merged) - 1):
+        a, b = merged[k], merged[k + 1]
+        # numeral + kanji also forms a Sino juncture (一般 ichi+han ->
+        # ippan, 六感 roku+kan -> rokkan); counters already consumed the
+        # regular numeral+counter cases upstream
+        if a[0] in ("kanji", "num") and b[0] == "kanji":
+            gem = _geminate_on_juncture(a[1], b[1])
+            if gem is not None:
+                merged[k] = (a[0], gem[0], a[2])
+                merged[k + 1] = ("kanji", gem[1], b[2])
     return merged
+
+
+def _geminate_on_juncture(a: str, b: str) -> tuple[str, str] | None:
+    """Sokuon rule at a Sino-Japanese compound juncture.
+
+    Fires only when the first element looks like an on-reading (<= 2 moras)
+    ending in く/き/つ/ち:
+      * く/き assimilate before the k-row only (学校 gakkou, 石器 sekki);
+        before s/t rows they stay (育成 ikusei, 直接 chokusetsu)
+      * つ/ち assimilate before k/s/t rows (発見 hakken, 発生 hassei,
+        決定 kettei) and before the h-row with h->p fortition
+        (出発 shuppatsu, 一杯 ippai)
+    """
+    if not a or not b:
+        return None
+    if len(_kana_moras(a)) > 2:  # 3+ moras: likely a kun reading (みがく)
+        return None
+    last, first = a[-1], b[0]
+    if last in "くき" and first in "かきくけこ":
+        return a[:-1] + "っ", b
+    if last in "つち":
+        if first in "かきくけこさしすせそたちつてと":
+            return a[:-1] + "っ", b
+        if first in _H_TO_P:
+            return a[:-1] + "っ", _H_TO_P[first] + b[1:]
+    return None
 
 
 # て/で + い-initial subsidiary verb inside a raw kana run (ている/ていく/
@@ -1085,6 +1130,31 @@ def _fallback_sentence_to_romaji(sentence: str) -> str:
     return " ".join(
         _phrase_to_romaji(kana, nucleus) for kana, nucleus in phrases
     )
+
+
+def japanese_to_kana(text: str) -> str:
+    """Accent-free hiragana reading, space-separated by accent phrase.
+
+    A probe/debug surface over the same segmentation + lexicon the fallback
+    g2p uses (tests/fixtures/ja_oov_fixture.json measures mora accuracy on
+    held-out text through this)."""
+    text = symbols_to_japanese(text)
+    sentences = re.split(_japanese_marks, text)
+    out: list[str] = []
+    for sentence in sentences:
+        if not re.match(_japanese_characters, sentence):
+            continue
+        sentence = "".join(
+            chr(ord(c) - 0xFEE0) if 0xFF01 <= ord(c) <= 0xFF5E else c
+            for c in sentence
+        )
+        sentence = _LATIN_RUN.sub(
+            lambda m: "".join(_LATIN_KANA[c] for c in m.group(0).upper()),
+            sentence,
+        )
+        phrases = _assemble_phrases(_segment(sentence))
+        out.append(" ".join(k.replace("|", "") for k, _ in phrases))
+    return " ".join(out)
 
 
 def symbols_to_japanese(text: str) -> str:

@@ -260,11 +260,11 @@ def train_step(
         # a non-finite loss or grad skips that side's update in-graph —
         # one bad batch can't poison the run. Skips are visible as
         # nan_skipped/{g,d} metrics; state.step still advances so the
-        # PRNG stream stays aligned. NOTE: the optax count inside the
-        # reverted opt_state does NOT advance on a skip, so any
-        # count-driven optimizer schedule trails state.step by one per
-        # skipped update (the shipped per-epoch LR decay is keyed off
-        # epochs, not the optax count, and is unaffected).
+        # PRNG stream stays aligned. The optimizer counts (int scalar
+        # leaves: adam count, schedule count) ALSO advance on a skip —
+        # only params and float moments are reverted — so opt_state
+        # counts stay aligned with state.step and any count-keyed LR
+        # schedule sees the same step index a skip-free run would.
         g_ok = jnp.isfinite(loss_gen_all) & jnp.isfinite(
             metrics["grad_norm/g"]
         )
@@ -272,17 +272,26 @@ def train_step(
         keep = lambda ok: (  # noqa: E731
             lambda new, old: jnp.where(ok, new, old)
         )
+
+        def keep_floats(ok):
+            def f(new, old):
+                if jnp.issubdtype(new.dtype, jnp.integer):
+                    return new  # optimizer step counts always advance
+                return jnp.where(ok, new, old)
+
+            return f
+
         new_g_params = jax.tree_util.tree_map(
             keep(g_ok), new_g_params, state.g_params
         )
         new_g_opt_state = jax.tree_util.tree_map(
-            keep(g_ok), new_g_opt_state, state.g_opt_state
+            keep_floats(g_ok), new_g_opt_state, state.g_opt_state
         )
         new_d_params = jax.tree_util.tree_map(
             keep(d_ok), new_d_params, state.d_params
         )
         new_d_opt_state = jax.tree_util.tree_map(
-            keep(d_ok), new_d_opt_state, state.d_opt_state
+            keep_floats(d_ok), new_d_opt_state, state.d_opt_state
         )
         metrics["nan_skipped/g"] = 1.0 - g_ok.astype(jnp.float32)
         metrics["nan_skipped/d"] = 1.0 - d_ok.astype(jnp.float32)

@@ -28,7 +28,7 @@ from vits_tpu.data.dataset import (
     DistributedBucketSampler,
     TextAudioSpeakerDataset,
 )
-from vits_tpu.models.avocodo import AvocodoDiscriminator
+from vits_tpu.models.avocodo import AvocodoDiscriminator, probe_discriminator
 from vits_tpu.models.synthesizer import SynthesizerTrn
 from vits_tpu.parallel.mesh import (
     local_batch_rows,
@@ -118,7 +118,11 @@ def run(hps, initial_run: bool = False) -> None:
 
     bf16 = bool(hps.train.get("bf16_run", False))
     model = SynthesizerTrn(**synthesizer_kwargs(hps, len(symbols)), bf16=bf16)
-    disc = AvocodoDiscriminator(bf16=bf16)
+    disc = (
+        probe_discriminator(bf16=bf16)
+        if str(hps.model.get("discriminator_size", "flagship")) == "probe"
+        else AvocodoDiscriminator(bf16=bf16)
+    )
     steps_per_epoch = max(len(sampler), 1)
     optim_g = make_optimizer(hps, steps_per_epoch)
     optim_d = make_optimizer(hps, steps_per_epoch)
