@@ -1224,3 +1224,302 @@ def word_to_pinyin(word: str) -> list[str]:
 
 def known(ch: str) -> bool:
     return ch in CHAR_TO_PINYIN
+
+# round-4 tail extension (VERDICT r3 item 7): frequency-ranked against
+# jieba's dictionary, every char below appears in real vocabulary that the
+# trad->simp table can emit but the original table could not read (洗澡,
+# 橘子, 袜子, 蘑菇 were silently dropping their second char).
+_CHAR_DATA_R4 = """
+吱zhi1 笙sheng1 蜿wan1 裳shang5 霄xiao1 瘾yin3 捻nian3 乓pang1 澧li3 吆yao1
+劾he2 瞰kan4 橘ju2 澡zao3 酋qiu2 灸jiu3 耙pa2 寥liao2 钝dun4 蛾e2 姹cha4
+勺shao2 庚geng1 剁duo4 狩shou4 隘ai4 靴xue1 搓cuo1 讥ji1 擂lei2 豌wan1
+馒man2 茬cha2 伶ling2 秭zi3 鲸jing1 苛ke1 镁mei3 梵fan4 垛duo4 臀tun2
+颌he2 颅lu2 徊huai2 捎shao1 幢zhuang4 弩nu3 讧hong4 咦yi2 嘎ga1 涕ti4
+俸feng4 纂zuan3 呻shen1 卯mao3 嗜shi4 札zha2 榆yu2 噢o1 峙zhi4 姬ji1
+萎wei3 绷beng1 赂lu4 蚂ma3 戮lu4 瓮weng4 蹦beng4 肋lei4 壕hao2 辇nian3
+陇long3 椰ye1 氓mang2 蟾chan2 辕yuan2 恃shi4 孵fu1 嘟du1 濮pu2 粱liang2
+袜wa4 浚jun4 刨pao2 蛟jiao1 栈zhan4 铬ge4 惺xing1 糍ci2 兮xi1 蕊rui3
+褚chu3 涝lao4 潼tong2 驸fu4 黛dai4 箍gu1 匡kuang1 椁guo3 梧wu2 惮dan4
+胰yi2 擎qing2 绥sui2 荧ying2 拗niu4 弛chi2 匿ni4 蟠pan2 寅yin2 枭xiao1
+殡bin4 尧yao2 悖bei4 桦hua4 骼ge2 呛qiang4 黯an4 赃zang1 茵yin1 褪tui4
+甬yong3 挚zhi4 嗔chen1 澈che4 毋wu2 拴shuan1 倏shu1 帷wei2 嗦suo5
+淙cong2 蘑mo2 夔kui2 羚ling2 屎shi3 搀chan1 袄ao3 岚lan2 沮ju3 挎kua4
+侥jiao3 箫xiao1 醚mi2 腌yan1 埠bu4 砾li4 竣jun4 睐lai4 栓shuan1 秽hui4
+煽shan1 攸you1 琵pi2 睬cai3 冢zhong3 捶chui2 诣yi4 剔ti1 拧ning2 捂wu3
+邸di3 熠yi4 娉ping1 眩xuan4 橱chu2 汴bian4 漩xuan2 馔zhuan4 锈xiu4
+濡ru2 璐lu4 诫jie4 榄lan3 哮xiao4 冕mian3 酵jiao4 澹dan4 瞿qu2 琶pa2
+惫bei4 酣han1 筏fa2 撩liao1 龚gong1 谍die2 沥li4 掳lu3 虔qian2 掣che4
+萤ying2 迥jiong3 柿shi4 琪qi2 婷ting2 獾huan1 柩jiu4 鹊que4 忿fen4
+炽chi4 貂diao1 戊wu4 噗pu1 嘘xu1 辍chuo4 窒zhi4 淌tang3 迸beng4 耆qi2
+贻yi2 缰jiang1 噬shi4 甄zhen1 崭zhan3 祟sui4 祐you4 衅xin4 蝴hu2 唆suo1
+堑qian4 蹬deng1 恪ke4 竺zhu2 拷kao3 绎yi4 捅tong3 驷si4 谟mo2 颓tui2
+黏nian2 谌chen2 椿chun1 忒te4 哽geng3 绊ban4 镂lou4 侃kan3 涧jian4
+糙cao1 躇chu2 啄zhuo2 钨wu1 淞song1 珑long2 鬓bin4 枫feng1 毓yu4 雏chu2
+卉hui4 拯zheng3 疙ge1 釉you4 徘pai2 甭beng2 踌chou2 笺jian1 炫xuan4
+蚣gong1 苷gan1 绾wan3 妊ren4 踵zhong3 戍shu4 墅shu4 茧jian3 阉yan1
+辙zhe2 咄duo1 滕teng2 瘩da5 惰duo4 箔bo2 抉jue2 烙lao4 姗shan1 垢gou4
+屉ti4 驮tuo2 腋ye4 掐qia1 噜lu1 崎qi2 陨yun3 钵bo1 暨ji4 曝pu4 仞ren4
+夯hang1 钳qian2 帛bo2 蓟ji4 蜈wu2 镐gao3 嚎hao2 懦nuo4 湍tuan1 瑛ying1
+肽tai4 傀kui3 咙long2 钴gu3 扈hu4 遁dun4 阱jing3 幌huang3 踉liang4
+圃pu3 萃cui4 栎li4 窘jiong3 叱chi4 蠕ru2 溺ni4 佟tong2 懊ao4 锄chu2
+橄gan3 跷qiao1 恤xu4 讹e2 汾fen2 睫jie2 蝎xie1 鳖bie1 哆duo1 咪mi1
+珀po4 儡lei3 嫡di2 笋sun3 啷lang1 馋chan2 馏liu2
+"""
+CHAR_TO_PINYIN.update(
+    {m.group(1): m.group(2) for m in _TOKEN_RE.finditer(_CHAR_DATA_R4)}
+)
+
+_CHAR_DATA_R4B = """
+叽ji1 闵min3 纨wan2 蛤ge2 蔚wei4 娠shen1 眺tiao4 淇qi2 芸yun2 跄qiang4
+钗chai1 蝗huang2 拎lin1 蹭ceng4 姘pin1 踱duo2 哧chi1 汲ji2 槎cha2 馍mo2
+鳔biao4 饺jiao3 矾fan2 掺chan1 磺huang2 莺ying1 庑wu3 踞ju4 脯fu3
+髦mao2 痪huan4 娲wa1 壬ren2 渎du2 谒ye4 珈jia1 奄yan3 锺zhong1 痹bi4
+扉fei1 靛dian4 迂yu1 棂ling2 麝she4 谛di4 涟lian2 枷jia1 氖nai3 酝yun4
+旌jing1 熹xi1 呸pei1 簌su4 曳ye4 咎jiu4 喽lou5 捍han4 搔sao1 锏jian3
+沂yi2 揩kai1 蟆ma2 喵miao1 汶wen4 糜mi2 圪ge1 庹tuo3 绗hang2 辗zhan3
+箕ji1 掖ye1 癫dian1 捋lv3 稣su1 楹ying2 鳃sai1 锚mao2 孰shu2 跻ji1
+踅xue2 蟒mang3 畲she1 绛jiang4 篱li2 晏yan4 噩e4 胱guang1 诘jie2
+苓ling2 缭liao2 嘀di2 夭yao1 婪lan2 憨han1 黝you3 捺na4 鱿you2 蛔hui2
+猩xing1 炙zhi4 赘zhui4 衲na4 峪yu4 蹿cuan1 钡bei4 吠fei4 氽tun3 饪ren4
+鬟huan2 磐pan2 轶yi4 迢tiao2 肛gang1 殴ou1 遐xia2 孺ru2 嬉xi1 汕shan4
+翩pian1 楂zha1 偕xie2 铿keng1 骰tou2 蝠fu2 樟zhang1 宕dang4 褥ru4
+沓ta4 鸾luan2 钒fan2 霓ni2 漱shu4 悴cui4 绚xuan4 蚓yin3 檬meng2
+皓hao4 焘tao1 俑yong3 腓fei2 疡yang2 邺ye4 赈zhen4 葺qi4 惚hu1 唔wu2
+矜jin1 苞bao1 忡chong1 麒qi2 汊cha4 玮wei3 髯ran2 妞niu1 麽me5
+惴zhui4 岑cen2 溴xiu4 臼jiu4 悯min3 袅niao3 臻zhen1 赁lin4 驭yu4
+淄zi1 伎ji4 霆ting2 膺ying1 窿long2 彤tong2 昕xin1 抨peng1 磴deng4
+邯han2 桅wei2 韶shao2 涎xian2 阪ban3 泗si4 槌chui2 嗟jie1 淖nao4
+筐kuang1 麾hui1 泾jing1 睾gao1 菠bo1 谥shi4 雯wen2 荔li4 媛yuan2
+糠kang1 渍zi4 噎ye1 渲xuan4 孚fu2 啧ze2 杵chu3 嗒da1 胯kua4 纶lun2
+仡yi4 鳝shan4 娆rao2 蚯qiu1 螭chi1 昙tan2 巅dian1 嬷mo2 忖cun3
+徭yao2 渚zhu3 漪yi1 茯fu2 榕rong2 鲇nian2 溥pu3 孳zi1 菏he2 娼chang1
+氦hai4 瞳tong2 迩er3 镀du4 霹pi1 煲bao1 蜘zhi1 绐dai4 跤jiao1
+萱xuan1 巳si4 缙jin4 偃yan3 莞wan3 斓lan2 忱chen2 鹘hu2 鳅qiu1
+蔼ai3 帧zhen1 俨yan3 蝌ke1 镏liu2 褒bao1 蜕tui4 蹙cu4 嗳ai3 陲chui2
+硼peng2 姣jiao1 痉jing4 壑he4 梆bang1 绯fei1 癸gui3 抿min3 槟bin1
+蹂rou2 躏lin4 嘈cao2 鞠ju1 挛luan2 螅xi1 桔ju2 殆dai4 悸ji4 椋liang2
+沱tuo2 秧yang1 憔qiao2 雳li4 亟ji2 俾bi3 撵nian3 讪shan4 惦dian4
+氐di1 锂li3 嗖sou1 铐kao4 祛qu1 戌xu1 镰lian2 榭xie4 纭yun2 舷xian2
+烽feng1 幡fan1 撂liao4 洄hui2 祚zuo4 佯yang2 蔷qiang2 讷ne4 彧yu4
+胄zhou4 樵qiao2 黜chu4 嚓ca1 藓xian3 幔man4 绶shou4 畿ji1 骁xiao1
+醴li3 笆ba1 靼da2 蹊qi1 粽zong4 亘gen4 袒tan3 恻ce4 绫ling2 镯zhuo2
+娓wei3 踊yong3 奚xi1 阖he2 挝wo1 匮kui4 簪zan1 獗jue2 秸jie1 殃yang1
+俐li4 蘸zhan4 磊lei3 颍ying3 榷que4 椤luo2 胭yan1 绌chu4 晾liang4
+坯pi1 谚yan4 鸱chi1 柠ning2 笈ji2 谙an1 荃quan2 抠kou1 痊quan2
+漉lu4 蹑nie4 穹qiong2 喳zha1 谩man4 怂song3 钯ba3 猝cu4 郅zhi4
+虱shi1 恁nen4 嗨hai1 涣huan4 哝nong2 肮ang1 髻ji4 迤yi3 峦luan2
+偎wei1 锢gu4 荀xun2 歆xin1 绔ku4 缪miu4 娩mian3 彗hui4 钼mu4
+怅chang4 擢zhuo2 龋qu3 酉you3 镞zu2 谑xue4 簸bo3 馅xian4 喏nuo4
+诠quan2 迳jing4 鲵ni2 钮niu3 盅zhong1 煦xu4 坍tan1 舔tian3 浒hu3
+哒da1 舂chong1 飕sou1 嫖piao2 盂yu2 唠lao2 芾fei4 鑫xin1 懵meng3
+狞ning2 濠hao2 漾yang4 闩shuan1 惘wang3 耘yun2 瘴zhang4 泸lu2
+掰bai1 蛹yong3 皎jiao3 鄱po2 晁chao2 寐mei4 蕨jue2 芹qin2 饬chi4
+瞟piao3 戛jia2 恙yang4 蚪dou3 涿zhuo1 浃jia1 亵xie4 纣zhou4 掂dian1
+"""
+CHAR_TO_PINYIN.update(
+    {m.group(1): m.group(2) for m in _TOKEN_RE.finditer(_CHAR_DATA_R4B)}
+)
+
+_CHAR_DATA_R4C = """
+翡fei3 郸dan1 煊xuan1 裟sha1 铂bo2 痢li4 赡shan4 荪sun1 茉mo4 辏cou4
+檄xi2 蹋ta4 榛zhen1 抡lun1 赍ji1 焯chao1 疟nve4 铢zhu1 恺kai3 诃he1
+鼾han1 吮shun3 渥wo4 饴yi2 咫zhi3 铣xi3 邬wu1 夥huo3 瓒zan4 垩e4
+汐xi1 馐xiu1 贰er4 鹄hu2 凋diao1 眸mou2 荼tu2 螨man3 酪lao4 剐gua3
+悻xing4 拄zhu3 鲥shi2 谄chan3 吝lin4 雉zhi4 缨ying1 悚song3 栩xu3
+狙ju1 偌ruo4 榈lv2 骋cheng3 呱gua1 珩heng2 谶chen4 跛bo3 憩qi4
+攥zuan4 鹦ying1 蝙bian1 恣zi4 苻fu2 辄zhe2 娄lou2 蜗wo1 粳jing1
+砷shen1 羔gao1 霏fei1 碉diao1 篓lou3 晔ye4 匝za1 涸he2 绠geng3 肄yi4
+敖ao2 俟si4 蛊gu3 骈pian2 撅jue1 锑ti1 鸥ou1 楔xie1 皿min3 咔ka1
+埙xun1 晟sheng4 龛kan1 缈miao3 氰qing2 岷min2 砺li4 惬qie4 滦luan2
+觐jin4 弈yi4 蟮shan4 骅hua2 莼chun2 罡gang1 袈jia1 蜥xi1 牍du2
+攫jue2 擞sou3 鳜gui4 卅sa4 佼jiao3 谤bang4 飚biao1 荻di2 缄jian1
+蛭zhi4 焙bei4 喙hui4 雹bao2 兖yan3 嗷ao2 沌dun4 踝huai2 翟zhai2
+忏chan4 椹shen4 踹chuai4 皈gui1 涞lai2 侏zhu1 恬tian2 琚ju1 诅zu3
+炀yang2 啰luo1 摺zhe2 鼐nai4 谀yu2 冗rong3 妗jin4 岘xian4 诙hui1
+塾shu2 阑lan2 犊du2 搐chu4 鲛jiao1 俅qiu2 桁heng2 龅bao1 薰xun1
+崚leng2 榘ju3 缢yi4 戾li4 痘dou4 辔pei4 芍shao2 纰pi1 帻ze2 搪tang2
+俚li3 龈yin2 鳊bian1 闾lv2 舀yao3 闫yan2 聆ling2 憧chong1 惋wan3
+蟀shuai4 鞯jian1 鳗man2 昵ni4 桧gui4 揍zou4 讫qi4 臧zang1 圩wei2
+臊sao4 铎duo2 隗wei3 峒dong4 缤bin1 飙biao1 骷ku1 闰run4 钰yu4
+岖qu1 诽fei3 妍yan2 艮gen4 枸gou3 茗ming2 虬qiu2 邰tai2 茹ru2
+癖pi3 饔yong1 瑁mao4 恿yong3 僮tong2 绦tao1 鲶nian2 铳chong4 淬cui4
+峁mao3 吡bi3 毂gu3 岐qi2 嘤ying1 坷ke1 荚jia2 涪fu2 隽juan4 猷you2
+咆pao2 恸tong4 苫shan1 蜷quan2 璞pu2 彷pang2 铠kai3 曦xi1 崽zai3
+嫦chang2 瞭liao4 髅lou2 炔que1 唷yo1 佞ning4 轼shi4 銮luan2 奘zang4
+脐qi2 埂geng3 崆kong1 刎wen3 誊teng2 羧suo1 荟hui4 倩qian4 楝lian4
+睽kui2 烬jin4 饯jian4 颚e4 岬jia3 谆zhun1 唑zuo4 啶ding4 琏lian3
+憬jing3 鹗e4 庖pao2 猬wei4 忾kai4 橹lu3 鲩huan4 暄xuan1 潢huang2
+飒sa4 箐qing4 叵po3 獭ta3 胫jing4 鹉wu3 痔zhi4 呗bei5 缥piao1
+豢huan4 霈pei4 殓lian4 邃sui4 锵qiang1 潦liao2 纫ren4 缂ke4 罂ying1
+铵an3 猕mi2 宥you4 虻meng2 潞lu4 瘠ji2 鳎ta3 囤tun2 疱pao4 萦ying2
+牦mao2 眈dan1 腆tian3 罔wang3 媲pi4 莆pu2 饕tao1 孛bo2 臾yu2 缇ti2
+莅li4 螂lang2 隼sun3 瞌ke1 痣zhi4 蒴shuo4 柚you4 锹qiao1 瓯ou1
+弋yi4 圜huan2 绻quan3 臆yi4 嚏ti4 弁bian4 诳kuang2 铡zha2 栉zhi4
+喋die2 坳ao4 狰zheng1 獐zhang1 瘸que2 娣di4 摒bing4 榔lang2 裨bi4
+蟋xi1 镌juan1 睢sui1 蛀zhu4 藐miao3 睑jian3 疽ju1 啐cui4 韭jiu3
+镉ge2 羯jie2 镣liao4 瘪bie3 狲sun1 黍shu3 楣mei2 蚜ya2 妫gui1
+鹫jiu4 盹dun3 忐tan3 廿nian4 氲yun1 鹞yao4 橇qiao1 荞qiao2 茜qian4
+颉jie2 屹yi4 燧sui4 箩luo2 俪li4 嚅ru2 飓ju4 偻lou2 啮nie4 掸dan3
+耦ou3 犒kao4 骥ji4 摞luo4 崂lao2 槃pan2 闳hong2 桢zhen1 竦song3
+囱cong1 湮yan1 沏qi1 颏ke1 咂za1 匍pu2 呷xia1 辘lu4 潍wei2 轭e4
+嗫nie4 鸵tuo2 蠹du4 翎ling2 罄qing4 飧sun1 缱qian3 籁lai4 哂shen3
+琥hu3 鬃zong1 啬se4 瘢ban1 笞chi1 忑te4 鲈lu2 濞bi4 缫sao1 暧ai4
+匐fu2 蚤zao3 夙su4 斫zhuo2 湄mei2 艄shao1 桀jie2 阈yu4 痞pi3
+镗tang1 蛆qu1 腼mian3 瞑ming2 霭ai3 徨huang2 痈yong1 鹭lu4 柞zuo4
+碛qi4 婀e1 洱er3 趸dun3 熵shang1 蜚fei1 叼diao1 缃xiang1 铰jiao3
+谗chan2 湟huang2 翱ao2 噙qin2 妩wu3 徇xun4 裆dang1 墀chi2 唁yan4
+癞lai4 馁nei3 痫xian2 怏yang4 熨yun4 蜃shen4 仄ze4 睨ni4 鸩zhen4
+岫xiu4 膻shan1 诩xu3 瞠cheng1 墒shang1 芪qi2 刍chu2 藜li2 醺xun1
+帙zhi4 畹wan3 涮shuan4 汩gu3 娅ya4 馄hun2 镫deng4 剽piao1 螃pang2
+啜chuo4 霾mai2 鞣rou2 饨tun2 曜yao4 剜wan1 辎zi1 阂he2 玑ji1
+巽xun4 诤zheng4 坂ban3 鞅yang1 蔫nian1 婺wu4 疣you2 纾shu1 幂mi4
+钤qian2 掬ju1 煜yu4 觥gong1 媾gou4 忻xin1 豺chai2 蚧jie4 袂mei4
+鹑chun2 璜huang2 佝gou1 町ting3 疵ci1 啾jiu1 篙gao1 撸lu1 蹚tang1
+拮jie2 铆mao3 祗zhi1 诨hun4 呃e4 诿wei3 噼pi1 摈bin4 螯ao2
+阊chang1 饽bo1 斛hu2 噤jin4 咛ning2 蜓ting2 裱biao3 嘁qi1 颔han4
+怵chu4 舐shi4 砻long2 惆chou2 蜍chu2 魑chi1 嶙lin2 嗝ge2 魇yan3
+泞ning4 诟gou4 酐gan1 砧zhen1 獠liao2 硷jian3 湎mian3 牯gu3 遽ju4
+隍huang2 诂gu3 恚hui4 啕tao2 腭e4 祜hu4 鸨bao3 偈ji4 唰shua1
+犷guang3 炷zhu4 硒xi1 跸bi4 鲫ji4 缜zhen3 诓kuang1 绺liu3 谧mi4
+唢suo3 赊she1 缟gao3 龇zi1 蹴cu4 锟kun1 淼miao3 篝gou1 觊ji4
+窠ke1 蛰zhe2 黠xia2 枇pi2 淅xi1 鼬you4 苎zhu4 癣xuan3 噔deng1
+囔nang1 嘭peng1 蜻qing1 弑shi4 觎yu2 钺yue4 锆gao4 刈yi4 锨xian1
+臃yong1 褴lan2 昊hao4 蛐qu1 嗪qin2 犟jiang4 奁lian2 莓mei2 硌ge4
+咣guang1 苋xian4 叟sou3 忤wu3 锉cuo4 泯min3 稞ke1 耷da1 倌guan1
+坨tuo2 孀shuang1 粕po4 跚shan1 伫zhu4 猥wei3 怆chuang4 龌wo4
+滂pang1 垓gai1 冽lie4 龊chuo4 岌ji2 榫sun3 阡qian1 椽chuan2
+孪luan2 谪zhe2 擀gan3 箴zhen1 瘁cui4 厩jiu4 箸zhu4 靓liang4
+橐tuo2 鲑gui1 颧quan2 痿wei3 礴bo2 寤wu4 搽cha2 逅hou4 咝si1
+哐kuang1 铨quan2 亳bo2 鳕xue3 詈li4 菁jing1 秣mo4 宓mi4 怼dui4
+愠yun4 砝fa3 倜ti4 蹶jue2 仃ding1 飨xiang3 峋xun2 覃tan2 咿yi1
+岢ke3 犍jian1 瑗yuan4 酗xu4 杳yao3 懑men4 桠ya1 唏xi1 婕jie2
+呦you1 幄wo4 搡sang3 椟du2 谔e4 嶂zhang4 囿you4 蹒pan2 珐fa4
+罅xia4 粲can4 乩ji1 壅yong1 吒zha4 纥ge1 碣jie2 崧song1 疸dan3
+钏chuan4 谡su4 褛lv3 祧tiao1 饩xi4 郴chen1 浔xun2 垭ya1 诌zhou1
+篾mie4 淝fei2 螟ming2 蓖bi4 嵊sheng4 邛qiong2 蛎li4 皑ai2 邂xie4
+铛dang1 昱yu4
+"""
+CHAR_TO_PINYIN.update(
+    {m.group(1): m.group(2) for m in _TOKEN_RE.finditer(_CHAR_DATA_R4C)}
+)
+
+_CHAR_DATA_R4D = """
+蔑mie4 縻mi2 阄jiu1 烃ting1 婊biao3 嫔pin2 羟qiang3 龢he2 醌kun1
+谝pian3 桕jiu4 珪gui1 壹yi1 囫hu2 囵lun2 戗qiang4 衩cha3 鸢yuan1
+纛dao4 胛jia3 诖gua4 蘖nie4 铯se4 嗑ke4 蛄gu1 邈miao3 骶di3 颞nie4
+餮tie4 僖xi1 蝼lou2 愎bi4 窨yin4 桉an1 嬗shan4 戕qiang1 晷gui3
+窈yao3 趄qie4 郾yan3 铱yi1 菪dang4 儋dan1 劬qu2 噻sai1 舫fang3
+蟑zhang1 訇hong1 逶wei1 钪kang4 蔺lin4 钿dian4 侬nong2 夤yin2
+怄ou4 搿ge2 芫yan2 蝮fu4 遨ao2 酆feng1 氤yin1 骧xiang1 燮xie4
+傥tang3 纡yu1 滓zi3 祆xian1 觯zhi4 钎qian1 缶fou3 湫qiu1 筠yun2
+芎xiong1 笫zi3 耜si4 锲qie4 竽yu2 旖yi3 牝pin4 鹬yu4 眦zi4
+歙she4 砭bian1 缌si1 遴lin2 佤wa3 凇song1 蚩chi1 砒pi1 馊sou1
+甑zeng4 挞ta4 槭qi4 傈li4 谯qiao2 嘹liao2 蹼pu3 钍tu3 铤ting3
+谲jue2 慵yong1 嵘rong2 邕yong1 杷pa2 苁cong1 闱wei2 卣you3 挈qie4
+怩ni2 栲kao3 楸qiu1 佗tuo2 殚dan1 榧fei3 痨lao2 鬣lie4 泓hong2
+廪lin3 镭lei2 刽gui4 桡rao2 庾yu3 僳su4 痧sha1 锶si1 虢guo2
+螳tang2 忸niu3 赳jiu1 爻yao2 磬qing4 玷dian4 蛏cheng1 蚱zha4
+肱gong1 碴cha2 孑jie2 笤tiao2 罹li2 讴ou1 鄯shan4 鲧gun3 粼lin2
+蓑suo1 颦pin2 穑se4 鬻yu4 喔wo1 衾qin1 脍kuai4 狎xia2 滁chu2
+赝yan4 鲎hou4 扪men2 靥ye4 蓼liao3 舛chuan3 鲂fang2 莘shen1
+恫dong4 雠chou2 椴duan4 霰xian4 髡kun1 漯luo4 镓jia1 钚bu4 韪wei3
+嗥hao2 螫shi4 脘wan3 俎zu3 膈ge2 邳pi1 铄shuo4 傩nuo2 妤yu2
+聒guo1 肓huang1 瓤rang2 婵chan2 苄bian4 缬xie2 帼guo2 铍pi2
+氩ya4 褡da1 舢shan1 鹜wu4 赭zhe3 俳pai2 蕙hui4 殒yun3 沤ou4
+耄mao4 馕nang2 琮cong2 馥fu4 茏long2 玖jiu3 镬huo4 霁ji4 喹kui2
+蠖huo4 皙xi1 遑huang2 峥zheng1 嗲dia3 嘣beng1 惇dun1 妯zhou2
+畦qi2 垠yin2 袤mao4 汜si4 芮rui4 莠you3 钹bo2 蜇zhe1 蓿xu5
+荨xun2 谠dang3 阗tian2 瘘lou4 彘zhi4 蛉ling2 蠓meng3 遒qiu2
+儆jing3 阋xi4 濯zhuo2 茁zhuo2 馑jin3 郏jia2 阆lang4 稔ren3
+腴yu2 侑you4 弭mi3 晗han2 尕ga3 滹hu1 鹳guan4 鲱fei1 陉xing2
+徕lai2 旎ni3 窕tiao3 麂ji3 骛wu4 醯xi1 樽zun1 倨ju4 扦qian1
+苣ju4 跗fu1 葆bao3 呶nao2 玳dai4 愆qian1 诋di3 芊qian1 咤zha4
+喟kui4 嗄a2 聿yu4 鹌an1 矽xi1 苡yi3 谖xuan1 鼍tuo2 龀chen4
+阕que4 厝cuo4 锷e4 槁gao3 薮sou3 疃tuan3 皴cun1 迨dai4 掾yuan4
+跎tuo2 崴wai3 璟jing3 獬xie4 貉he2 豕shi3 芡qian4 殁mo4 笮ze2
+噫yi1 黾min3 揿qin4 摁en4 焐wu4 薹tai2 螈yuan2 凫fu2
+"""
+CHAR_TO_PINYIN.update(
+    {m.group(1): m.group(2) for m in _TOKEN_RE.finditer(_CHAR_DATA_R4D)}
+)
+
+_CHAR_DATA_R4E = """
+拚pan4 铖cheng2 浠xi1 鳇huang2 蒽en1 嫘lei2 掇duo1 硚qiao2 杞qi3
+腧shu4 镕rong2 瘙sao4 膂lv3 蜴yi4 荥xing2 裰duo1 鏖ao2 羰tang1
+逦li3 骢cong1 猢hu2 篪chi2 撺cuan1 狯kuai4 暹xian1 腱jian4
+襁qiang3 褓bao3 唿hu1 颛zhuan1 顼xu1 骠biao1 郓yun4 犄ji1 苜mu4
+赅gai1 趔lie4 孱chan2 挲suo1 盱xu1 眙yi2 鲡li2 杈cha4 蚰you2
+镔bin1 镢jue2 氆pu3 氇lu5 珙gong3 濂lian2 魃ba2 啻chi4 篑kui4
+瑭tang2 邗han2 踟chi2 蹰chu2 洮tao2 邋la1 遢ta5 揶ye2 揄yu2
+坩gan1 埚guo1 徜chang2 徉yang2 蒺ji2 蟥huang2 嘧mi4 膑bin4 讦jie2
+狍pao2 甾zai1 绀gan4 愫su4 裢lian5 镊nie4 嘌piao4 呤ling4 跆tai2
+馗kui2 猞she1 猁li4 锃zeng4 噱xue2 桎zhi4 梏gu4 芩qin2 啉lin2
+娌li3 糅rou2 蹩bie2 燹xian3 潸shan1 砀dang4 颢hao4 潴zhu1 妪yu4
+鎏liu2 悝kui1 癜dian4 蝾rong2 黧li2 碜chen3 佻tiao1 骊li2 恽yun4
+矍jue2 鹁bo2 呋fu1 廛chan2 屐ji1 骜ao4 痼gu4 莒ju3 轳lu2 郫pi2
+龃ju3 龉yu3 吲yin3 哚duo3 勖xu4 溟ming2 痤cuo2 褫chi3 讣fu4
+伉kang4 栀zhi1 筮shi4 葩pa1 茛gen4 鄞yin2 鸬lu2 鹚ci2 蓥ying2
+旮ga1 旯la2 祉zhi3 箓lu4 茭jiao1 癯qu2 榉ju3 毖bi4 莴wo1
+豇jiang1 黟yi1 佘she2 柽cheng1 矸gan1 谵zhan1 仫mu4 箜kong1
+篌hou2 翦jian3 楫ji2 茴hui2 菟tu4 邙mang2 喾ku4 砗che1 磲qu2
+颀qi2 髭zi1 孬nao1 嵯cuo2 沭shu4 狒fei4 碡zhou2 齑ji1 伥chang1
+倬zhuo1 泔gan1 趵bao4 呓yi4 茔ying2 珥er3 贽zhi4 鹇xian2 皲jun1
+胼pian2 胝zhi1 莨liang2 菡han4 蜉fu2 蝣you2 豉chi3 崮gu4 檗bo4
+氍qu2 毹shu1 溧li4 觞shang1 盥guan4 秫shu2 捭bai3 唣zao4 羸lei2
+菖chang1 蛲nao2 蹠zhi2 堞die2 鹂li2 疴ke1 滏fu3 煅duan4 忪song1
+鸹gua1 荸bi2 荠qi2 蠲juan1 鸶si1 乜mie1 哔bi4 妁shuo4 岿kui1
+渑mian3 荦luo4 糌zan1 瓴ling2 侪chai2 冼xian3 聩kui4 桫suo1
+澉gan3 犸ma3 耒lei3 蔻kou4 蓣yu4 诮qiao4 趿ta1 骘zhi4 羿yi4
+啁zhou1 喑yin1 佶ji2 汨mi4 癔yi4 糨jiang4 痂jia1 轲ke1 蛳si1
+氅chang3 倥kong1 偬zong3 铧hua2 荽sui1 轱gu1 鏊ao4 鸷zhi4
+殍piao3 鲳chang1 侩kuai4 歃sha4 蕈xun4 濑lai4 笸po3 洵xun2
+藿huo4 蜣qiang1 蹉cuo1 逡qun1 阏e4 帔pei4 鹈ti2 鹕hu2 樾yue4
+擘bo4 槿jin3 沆hang4 瀣xie4 磙gun3 砣tuo2 荏ren3 苒ran3 莜you2
+唳li4 仵wu3 魈xiao1 悭qian1 咻xiu1 祢mi2 笊zhao4 籼xian1 腠cou4
+蓓bei4 薏yi4 裣lian3 衽ren4 酩ming3 酊ding3 墉yong1 卺jin3
+茱zhu1 萸yu2 泅qiu2 瘰luo3 疬li4 奂huan4 胴dong4 芘bi4 裾ju1
+踯zhi2 躅zhu2 郯tan2 铙nao2 髋kuan1 鸸er2 鹋miao2 鼹yan3 犴an4
+庥xiu1 澍shu4 囹ling2 圄yu3 旰gan4 栾luan2 璎ying1 綦qi2 菅jian1
+醍ti2 醐hu2 撷xie2 鲣jian1 帑tang3 铉xuan4 镛yong1 诒yi2 洫xu4
+泱yang1 葸xi3 轸zhen3 锴kai3 豸zhi4 蜊li2 郦li4 黢qu1 朐qu2
+殇shang1 巯qiu2 愦kui4 枞cong1 氙xian1 疥jie4 痱fei4 癃long2
+黩du2 蛞kuo4 蝓yu2 酢cu4 佰bai3 蘅heng2 浣huan4 疳gan1 笳jia1
+艨meng2 艟chong1 蝈guo1 黹zhi3 锒lang2 烨ye4 颃hang2 颥ru2
+魍wang3 魉liang3 麸fu1 苌chang2 坻di3 恹yan1 疠li4 褊bian3
+泠ling2 毽jian4 镧lan2 颟man1 顸han1 跖zhi2 鼯wu2 妣bi3 怃wu3
+挹yi4 幛zhang4 掮qian2 葭jia1 淠pi4 痍yi2 跹xian1 罘fu2 踽ju3
+邝kuang4 蕻hong2 髌bin4 蜮yu4 嬴ying2 肼jing3 珮pei4 葚shen4
+槲hu2 陟zhi4 蓠li2 襞bi4 牖you3 悱fei3 蓍shi1 鳟zun1 蜢meng3
+酞tai4 馓san3 驽nu2 鲅ba4 猗yi1 赧nan3 喱li2 伧cang1 掎ji3
+暌kui2 殄tian3 杼zhu4 枳zhi3 栝gua1 燠yu4 犰qiu2 狳yu2 疝shan4
+稗bai4 篦bi4 蛴qi2 螬cao2 勰xie2 醪lao2 锱zi1 璩qu2 囡nan1
+薷ru2 鲷diao1 翳yi4 呖li4 怙hu4 悛quan1 戡kan1 檩lin3 蚶han1
+畛zhen3 矬cuo2 粝li4 昀yun2 蛱jia2 蠊lian2 蟊mao2 辊gun3 辋wang3
+靳jin4 啭zhuan4 砦zhai4 傧bin1 勐meng3 哌pai4 噘jue1 劭shao4
+烊yang2 牾wu3 柘zhe4 梃ting3 橛jue2 炜wei3 疖jie1 砬la2 筚bi4
+篥li4 耋die2 膘biao1 薜bi4 藁gao3 诼zhuo2 貔pi2 貅xiu1 遛liu4
+杲gao3 鲮ling2 鼢fen2 凼dang4 闼ta4 剡yan3 笄ji1 憷chu4 囟xin4
+稃fu1 嵬wei2 圹kuang4 劢mai4 赉lai4 揠ya4 嵛yu2 潋lian4 滟yan4
+溽ru4 癀huang2 狴bi4 槠zhu1 畋tian2 痦wu4 艽jiao1 箪dan1 翕xi1
+舳zhu2 舻lu2 芟shan1 茼tong2 蘼mi2 觱bi4 蹁pian2 捩lie4 濯zhuo2
+荨xun2 樽zun1 倨ju4 扦qian1 苣ju4 跗fu1 葆bao3 玳dai4 愆qian1
+诋di3 芊qian1 咤zha4 喟kui4 嗄a2 聿yu4 鹌an1 矽xi1 苡yi3
+谖xuan1 鼍tuo2 龀chen4 阕que4 厝cuo4 锷e4 槁gao3 薮sou3 疃tuan3
+皴cun1 迨dai4 掾yuan4 跎tuo2 崴wai3 璟jing3 獬xie4 貉he2 豕shi3
+芡qian4 殁mo4 笮ze2 噫yi1 黾min3 揿qin4 摁en4 焐wu4 薹tai2
+螈yuan2 凫fu2 荇xing4 菪dang4
+"""
+CHAR_TO_PINYIN.update(
+    {m.group(1): m.group(2) for m in _TOKEN_RE.finditer(_CHAR_DATA_R4E)}
+)
+
+_CHAR_DATA_R4F = """
+镳biao1 腈jing1 矇meng1 眬long2 醮jiao4 佥qian1 珲hun2 狻suan1
+猊ni2 鄢yan1 繇yao2 娈luan2 淦gan4 贲ben1 瘿ying3 缛ru4 懋mao4
+鍪mou2 蚴you4 蓇gu1 葖tu1 雒luo4 铩sha1 萘nai4 崃lai2 旃zhan1
+沣feng1 徵zhi3 鄄juan4 叻le4 宄gui3 俣yu3 虼ge4 屌diao3 脲niao4
+钽tan3 蒗lang4 涑su4 簰pai2 萜tie1 鼋yuan2 於yu2 渌lu4
+"""
+CHAR_TO_PINYIN.update(
+    {m.group(1): m.group(2) for m in _TOKEN_RE.finditer(_CHAR_DATA_R4F)}
+)
