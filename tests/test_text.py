@@ -1509,3 +1509,24 @@ def test_zh_new_tail_chars_render():
     for text in ["我去洗澡", "吃橘子", "穿袜子", "蘑菇汤", "枸杞茶"]:
         out = chinese_to_ipa(text)
         assert out and len(out) >= len(text), (text, out)
+
+
+def test_en_prose_token_coverage():
+    """>=96% of tokens in a held-out natural-prose corpus resolve through
+    the lexicon + affix layer without falling to rule LTS (VERDICT r3
+    item 2 'done' criterion). The corpus (tests/fixtures/en_prose_corpus.txt,
+    ~1.3k tokens across news/fiction/science/dialogue/legal/weather
+    registers) is held out: its residual misses are NOT mined into the
+    dictionary, so the number stays an honest estimate."""
+    import os
+    import re
+
+    from vits_tpu.text.english import _lexicon_lookup
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "en_prose_corpus.txt")
+    toks = re.findall(r"[a-z']+", open(path).read().lower())
+    assert len(toks) > 1000
+    miss = [w for w in toks if _lexicon_lookup(w.strip("'")) is None]
+    rate = 1 - len(miss) / len(toks)
+    assert rate >= 0.96, (rate, sorted(set(miss)))

@@ -254,11 +254,18 @@ def _lexicon_lookup(word: str) -> str | None:
         if base is not None:
             return _derived(base, "li")
     for suf, ipa in (("ness", "nəs"), ("ment", "mənt"), ("ful", "fəl"),
-                     ("less", "ləs"), ("ship", "ˌʃɪp"), ("hood", "ˌhʊd")):
-        if word.endswith(suf):
+                     ("less", "ləs"), ("ship", "ˌʃɪp"), ("hood", "ˌhʊd"),
+                     ("al", "əl"), ("ous", "əs"), ("ish", "ɪʃ"),
+                     ("able", "əbəl"), ("ible", "əbəl")):
+        if word.endswith(suf) and len(word) - len(suf) >= 3:
             base = _lexicon_base(word[: -len(suf)])
             if base is not None:
                 return _derived(base, ipa)
+    if word.endswith("y") and len(word) >= 4:
+        # -y adjectivizer: rain -> rainy, dust -> dusty, crust -> crusty
+        base = _lexicon_base(word[:-1])
+        if base is not None and not base.endswith(tuple("iəaeɪu")):
+            return _derived(base, "i")
     for pre, ipa in (("un", "ən"), ("re", "ri"), ("dis", "dɪs"),
                      ("pre", "pri"), ("non", "nɑn"), ("over", "ˌoʊvər"),
                      ("out", "ˌaʊt"), ("mis", "mɪs")):
