@@ -38,6 +38,7 @@ class CoMBDBlock(nn.Module):
     op_f: int
     op_k: int
     op_g: int
+    dense_grouped: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, b_y: int, b_y_hat: int):
@@ -48,6 +49,7 @@ class CoMBDBlock(nn.Module):
             x = Conv1d(
                 f, k, stride=s, dilation=d, groups=g_, padding=p,
                 use_weight_norm=True, name=f"conv_{i}",
+                dense_grouped=self.dense_grouped,
             )(x)
             x = jax.nn.leaky_relu(x, 0.2)
             f_r, f_g = x[:b_y], x[b_y:]
@@ -88,6 +90,9 @@ class CoMBDConfig:
     op_g: int = 1
     pqmf_lv2: tuple = (4, 192, 0.13, 10.0)
     pqmf_lv1: tuple = (2, 256, 0.25, 10.0)
+    dense_grouped: bool = False  # lower grouped convs block-diagonal dense
+    # (see models/modules.py Conv1d.dense_grouped; parameter layout is
+    # unchanged, so the flag can be flipped on an existing checkpoint)
 
 
 COMBD_FLAGSHIP = CoMBDConfig()
@@ -117,6 +122,7 @@ class CoMBD(nn.Module):
             CoMBDBlock(
                 c.h_u, c.d_k[i], c.d_s, c.d_d,
                 c.d_g, c.d_p[i], op_f=c.op_f, op_k=c.op_k, op_g=c.op_g,
+                dense_grouped=c.dense_grouped,
                 name=f"block_{i}",
             )
             for i in range(len(c.d_k))

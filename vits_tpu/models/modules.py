@@ -61,6 +61,12 @@ class Conv1d(nn.Module):
     kernel_init: Callable | None = None
     zero_init: bool = False  # zero both kernel and bias (flow output heads)
     dtype: jnp.dtype | None = None
+    dense_grouped: bool = False  # lower a grouped conv as ONE dense conv
+    # with a block-diagonal kernel (identical math + params + grads). A
+    # grouped conv with in/g=16 runs 16-wide matmuls per group — ~1.5% of a
+    # 128x128 MXU tile; the dense form costs g x the FLOPs but uses full
+    # tiles. Whether that trades positive is measured per-shape
+    # (tools/bench_grouped_conv.py) — see README perf notes.
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -92,6 +98,17 @@ class Conv1d(nn.Module):
             padding = [tuple(self.padding)]
 
         dtype = self.dtype or x.dtype
+        fgc = self.groups
+        if self.groups > 1 and self.dense_grouped:
+            g = self.groups
+            cg = in_features // g
+            og = self.features // g
+            kr = kernel.reshape(k, cg, g, og)
+            eye = jnp.eye(g, dtype=kernel.dtype)
+            kernel = jnp.einsum("kcgo,gh->kgcho", kr, eye).reshape(
+                k, in_features, self.features
+            )
+            fgc = 1
         y = jax.lax.conv_general_dilated(
             x.astype(dtype),
             kernel.astype(dtype),
@@ -99,7 +116,7 @@ class Conv1d(nn.Module):
             padding=padding,
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=self.groups,
+            feature_group_count=fgc,
         )
         if self.use_bias:
             binit = (

@@ -73,11 +73,17 @@ def create_train_state(
     optim_g: optax.GradientTransformation,
     optim_d: optax.GradientTransformation,
     batch: dict,
+    jit_init: bool = True,
 ) -> TrainState:
+    """jit_init=True compiles the flax inits (eager tracing dispatches
+    thousands of tiny ops one by one — minutes on a tunneled TPU).
+    jit_init=False runs them eagerly — the right trade on CPU probes, where
+    a tiny model's eager init takes seconds but COMPILING the init graph
+    costs minutes of LLVM time on a single core (measured 195 s + 54 s of
+    the round-3 probe timeout)."""
     g_rng, d_rng, f_rng = jax.random.split(rng, 3)
-    # jit the inits: eager tracing dispatches thousands of tiny ops to the
-    # device one by one (minutes on TPU); compiled init takes seconds
-    g_vars = jax.jit(model.init)(
+    maybe_jit = jax.jit if jit_init else (lambda f: f)
+    g_vars = maybe_jit(model.init)(
         g_rng,
         batch["x"], batch["t"], batch["x_lengths"],
         batch["spec"], batch["spec_lengths"], batch["ying"], batch["sid"],
