@@ -22,26 +22,36 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 @pytest.mark.slow
 def test_driver_invocation_fresh_subprocess(tmp_path):
-    """The exact command the driver runs, from a fresh process, with the
-    real environment, under a HARD wall-time budget.
+    """The exact command the driver runs, from fresh processes, with the
+    real environment, under HARD wall-time budgets.
 
-    The dryrun uses NO persistent compile cache (round-2 rc=134: a foreign
-    -machine AOT artifact killed a device thread mid-collective; cpuinfo
-    fingerprinting was observed colliding across masked fleet VMs), so the
-    probe must COLD-compile inside whatever budget the driver grants.
-    Round 3 failed exactly here (rc=124 mid-compile), so this test asserts
-    the budget, not just correctness: the probe model is sized to compile
-    cold in ~2-4 min on this repo's 1-core host (measured 226 s before the
-    llvm-expensive-passes flag), and the 300 s timeout makes any
-    compile-size regression fail CI before the driver sees it."""
+    Round 3 failed here with rc=124 mid-compile, so this test asserts
+    budgets, not just correctness. The probe's compile-time design
+    (round-4): a tiny-but-structurally-complete model (probe-sized
+    discriminator, depth knobs at minimum), eager flax init (compiling
+    the init graphs measured 195 s + 54 s of the r3 timeout), the
+    llvm-expensive-passes flag, and a boot-id-scoped /tmp compile cache —
+    artifacts from another machine or an earlier boot are unreachable by
+    construction (the round-2 foreign-AOT crash class), while any probe
+    run on the same boot (this test, then the driver's) reuses them.
+
+    Run 1 may be cold: budget 900 s (measured 257-646 s on this 1-core
+    host depending on load). Run 2 is warm by construction: budget 300 s
+    (measured 81 s idle) — this is what the driver sees whenever any
+    probe ran earlier in the boot, and the cold bound covers it when not."""
     env = dict(os.environ)
     for k in ("XLA_FLAGS", "JAX_PLATFORMS", "VITS_TPU_COMPILE_CACHE",
               "JAX_COMPILATION_CACHE_DIR"):
         env.pop(k, None)
+    cmd = [sys.executable, "-c",
+           "import __graft_entry__ as g; g.dryrun_multichip(8)"]
     proc = subprocess.run(
-        [sys.executable, "-c",
-         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=300,
+        cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    assert "dryrun_multichip(8): ok" in proc.stdout
+    proc = subprocess.run(
+        cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=300,
     )
     assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
     assert "dryrun_multichip(8): ok" in proc.stdout
