@@ -20,13 +20,20 @@ import jax
 import jax.numpy as jnp
 
 
+def _drain(out):
+    """Concrete device->host fetch: on the tunneled axon backend
+    block_until_ready returns before the queue drains (see bench_train.py);
+    only a value read proves execution."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf))
+
+
 def bench(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _drain(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _drain(out)
     return (time.perf_counter() - t0) / iters
 
 
