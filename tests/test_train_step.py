@@ -260,6 +260,20 @@ def test_nan_guard_skips_bad_update():
     ):
         np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
     assert int(new_state.step) == 1  # step still advances
+    # optimizer counts advance even on a skip, staying aligned with
+    # state.step (round-3 weak item 7: a count-keyed LR schedule must see
+    # the same step index a skip-free run would); float moments revert
+    for os_name in ("g_opt_state", "d_opt_state"):
+        for old, new in zip(
+            jax.tree_util.tree_leaves(getattr(state, os_name)),
+            jax.tree_util.tree_leaves(getattr(new_state, os_name)),
+        ):
+            if jnp.issubdtype(np.asarray(new).dtype, np.integer):
+                np.testing.assert_array_equal(
+                    np.asarray(new), np.asarray(old) + 1
+                )
+            else:
+                np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
 
     # a clean batch under the same guard still updates
     s2, m2 = step_fn(state, batch, jax.random.PRNGKey(1))
