@@ -96,7 +96,7 @@ def _bench_infer(model, params, b, tx, max_frames, sr, hop, n_iter=10):
     return true_sec / elapsed, padded_sec / elapsed, true_sec2 / elapsed2
 
 
-def _bench_train(hps, n_iter=10, batch_size=32):
+def _bench_train(hps, n_iter=30, batch_size=32):
     """Batch 32 is the measured single-chip throughput sweet spot
     (README batch-scaling row: +19% audio-s/s and ~27% MFU over batch 16's
     ~23%); the driver artifact reports the repo's real number."""
