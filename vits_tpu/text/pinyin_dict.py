@@ -1523,3 +1523,19 @@ _CHAR_DATA_R4F = """
 CHAR_TO_PINYIN.update(
     {m.group(1): m.group(2) for m in _TOKEN_RE.finditer(_CHAR_DATA_R4F)}
 )
+
+# round-5 open-vocabulary tier (VERDICT r4 item #2): derived last-resort
+# readings covering EVERY simplified char the trad->simp table can emit
+# (tools/derive_pinyin_tail.py, from the Unicode CLDR pinyin collation
+# data; leave-one-out accuracy 91.8% exact / 97.6% toneless-syllable).
+# Gap-fill only: every curated reading above takes precedence.
+# CURATED_CHAR_TO_PINYIN is the pre-merge snapshot — the derivation tool
+# must seed from it, NOT from the merged dict (regenerating the tail with
+# the tail already merged would freeze in its own guesses).
+CURATED_CHAR_TO_PINYIN: dict[str, str] = dict(CHAR_TO_PINYIN)
+
+from vits_tpu.text.pinyin_tail import TAIL_READINGS as _TAIL
+
+for _c, _r in _TAIL.items():
+    CHAR_TO_PINYIN.setdefault(_c, _r)
+del _TAIL

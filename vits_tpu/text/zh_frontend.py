@@ -22,11 +22,14 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
+import logging
 import re
 
 from vits_tpu.text.char_convert import traditional_to_simplified
 from vits_tpu.text.pinyin_dict import PHRASE_TO_PINYIN, word_to_pinyin
 from vits_tpu.text.tone_sandhi import modified_tone, pre_merge_for_modify
+
+logger = logging.getLogger(__name__)
 
 # reference zh_frontend.py:49-56 (erhua whitelist/blacklist)
 MUST_ERHUA = {"小院儿", "胡同儿", "范儿", "老汉儿", "撒欢儿", "寻老礼儿", "妥妥儿"}
@@ -107,7 +110,17 @@ def hanzi_to_pinyin(text: str, with_erhua: bool = False) -> str:
             if word.strip():
                 words_out.append(word.strip())  # punctuation, literal
             continue
-        sylls = [s for s in word_to_pinyin(word) if s]
+        raw_sylls = word_to_pinyin(word)
+        sylls = [s for s in raw_sylls if s]
+        if len(sylls) < len(raw_sylls):
+            # no silent drops (VERDICT r4 item #2; the reference's cleaner
+            # prints what it drops, /root/reference/text/cleaners.py:95-113)
+            for ch, s in zip(word, raw_sylls):
+                if not s:
+                    logger.warning(
+                        "No pinyin reading for %r (U+%04X) in %r — dropped",
+                        ch, ord(ch), word,
+                    )
         hanzi_only = "".join(ch for ch in word if _HANZI.match(ch))
         if len(sylls) == len(hanzi_only):
             sylls = modified_tone(hanzi_only, pos, sylls)

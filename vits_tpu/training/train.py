@@ -118,9 +118,17 @@ def run(hps, initial_run: bool = False) -> None:
 
     bf16 = bool(hps.train.get("bf16_run", False))
     model = SynthesizerTrn(**synthesizer_kwargs(hps, len(symbols)), bf16=bf16)
+    disc_size = str(hps.model.get("discriminator_size", "flagship"))
+    if disc_size not in ("flagship", "probe"):
+        # a typo ('Probe', 'small') would otherwise silently train the
+        # flagship discriminator and mask a misconfigured probe/CI run
+        raise ValueError(
+            f"model.discriminator_size must be 'flagship' or 'probe', "
+            f"got {disc_size!r}"
+        )
     disc = (
         probe_discriminator(bf16=bf16)
-        if str(hps.model.get("discriminator_size", "flagship")) == "probe"
+        if disc_size == "probe"
         else AvocodoDiscriminator(bf16=bf16)
     )
     steps_per_epoch = max(len(sampler), 1)
