@@ -88,17 +88,21 @@ _VOICELESS_FINAL = tuple("ptkfθ")
 # ordered rule-based letter-to-sound rules (fallback path only)
 _LTS_RULES = [
     ("ation", "eɪʃən"),
-    ("tion", "ʃən"), ("sion", "ʒən"), ("ture", "ʧəɹ"), ("ought", "ɔt"),
+    ("tion", "ʃən"), ("sion", "ʒən"), ("ture", "ʧər"), ("ought", "ɔt"),
     ("augh", "æf"), ("ough", "ʌf"), ("eigh", "eɪ"), ("igh", "aɪ"),
     ("tch", "ʧ"), ("dge", "ʤ"), ("nge", "nʤ"), ("ck", "k"),
-    ("wh", "w"), ("wr", "ɹ"),
+    ("wh", "w"), ("wr", "r"),
     ("kn", "n"), ("qu", "kw"), ("ph", "f"), ("gh", "g"), ("sh", "ʃ"),
     ("ch", "ʧ"), ("th", "θ"), ("ng", "ŋ"), ("oo", "u"), ("ee", "i"),
     ("ea", "i"), ("ou", "aʊ"), ("ow", "oʊ"), ("oi", "ɔɪ"), ("oy", "ɔɪ"),
     ("ai", "eɪ"), ("ay", "eɪ"), ("au", "ɔ"), ("aw", "ɔ"), ("oa", "oʊ"),
     ("ie", "i"), ("ue", "u"), ("ew", "u"), ("eu", "u"),
-    ("ar", "ɑɹ"), ("er", "əɹ"),
-    ("ir", "əɹ"), ("or", "ɔɹ"), ("ur", "əɹ"),
+    # r-colored vowels carry PLAIN r here: LTS output is at the same level
+    # as en_dict entries (the global _ipa_to_ipa2 rewrite turns r into ɹ
+    # downstream for both paths), so the two are directly comparable — the
+    # golden fixture tests/fixtures/en_lts_gold.tsv depends on this
+    ("ar", "ɑr"), ("er", "ər"),
+    ("ir", "ər"), ("or", "ɔr"), ("ur", "ər"),
     ("a", "æ"), ("b", "b"), ("c", "k"), ("d", "d"), ("e", "ɛ"),
     ("f", "f"), ("g", "g"), ("h", "h"), ("i", "ɪ"), ("j", "ʤ"),
     ("k", "k"), ("l", "l"), ("m", "m"), ("n", "n"), ("o", "ɑ"),
@@ -189,6 +193,13 @@ def _word_to_ipa_fallback(word: str) -> str:
     if len(word) > 3 and (word.endswith("'s") or word.endswith("s'")):
         base = _word_to_ipa_fallback(word[:-2])
         return base + _plural_suffix(base)
+    if len(word) >= 6 and word.endswith("ies"):
+        base = _word_to_ipa_fallback(word[:-3] + "y")  # modalities
+        if base.endswith("i"):
+            return base + "z"
+    tpl = _template_lts(word)
+    if tpl is not None:
+        return tpl
     if (len(word) >= 5 and word.endswith("ed")
             and word[-3] not in "aeiouy"):
         stem = word[:-2]
@@ -196,6 +207,13 @@ def _word_to_ipa_fallback(word: str) -> str:
             stem = stem[:-1]
         base = _letter_to_sound(stem + "e")  # magic-e fires where due
         return base + _past_suffix(base)
+    if (len(word) >= 6 and word.endswith("ing")
+            and word[-4] not in "aeiou"):
+        stem = word[:-3]
+        if len(stem) >= 3 and stem[-1] == stem[-2]:
+            stem = stem[:-1]
+        base = _letter_to_sound(stem + "e")  # traipsing -> traipse
+        return _derived(base, "ɪŋ")
     return _letter_to_sound(word.replace("'", ""))
 
 
@@ -206,6 +224,10 @@ def _lexicon_lookup(word: str) -> str | None:
     # ---- affix layer: derive regular inflections from lexicon bases ----
     if word.endswith("'s") or word.endswith("s'"):
         base = _lexicon_base(word[:-2])
+        if base is None and len(word) >= 7:
+            # possessive of a form the affix layer itself derives
+            # (affirmer's, contributor's) — one recursive level
+            base = _lexicon_lookup(word[:-2])
         if base is not None:
             return _derived(base, _plural_suffix(base))
     if word.endswith("ies") and word[:-3] + "y" in _LEXICON:
@@ -256,7 +278,8 @@ def _lexicon_lookup(word: str) -> str | None:
     for suf, ipa in (("ness", "nəs"), ("ment", "mənt"), ("ful", "fəl"),
                      ("less", "ləs"), ("ship", "ˌʃɪp"), ("hood", "ˌhʊd"),
                      ("al", "əl"), ("ous", "əs"), ("ish", "ɪʃ"),
-                     ("able", "əbəl"), ("ible", "əbəl")):
+                     ("able", "əbəl"), ("ible", "əbəl"),
+                     ("ance", "əns"), ("ence", "əns")):
         if word.endswith(suf) and len(word) - len(suf) >= 3:
             base = _lexicon_base(word[: -len(suf)])
             if base is not None:
@@ -277,6 +300,10 @@ def _lexicon_lookup(word: str) -> str | None:
                 # one recursive level through the suffix rules
                 hit = _lexicon_lookup(rest)
             if hit is not None:
+                if pre == "re" and rest[0] in "aeiou" and hit[0] not in "ˈˌ":
+                    # re- before a vowel-initial base carries a secondary
+                    # (ˌriəˈʃʊrəns)
+                    return "ˌ" + ipa + hit
                 return ipa + hit
     # closed compound of two lexicon words (seashell, sunlight, raincoat):
     # primary stress on the first element, secondary on the second —
@@ -285,8 +312,15 @@ def _lexicon_lookup(word: str) -> str | None:
         for cut in range(3, len(word) - 2):
             a, b = word[:cut], word[cut:]
             if a in _LEXICON and b in _LEXICON:
+                ipa_b_marked = _LEXICON[b]
+                if a in ("counter", "under", "over", "inter", "semi",
+                         "multi") and "ˈ" in ipa_b_marked:
+                    # combining prefix + self-stressed polysyllable is NOT
+                    # a noun compound (counterintuitive keeps the base's
+                    # primary) — the template layer handles it
+                    continue
                 ipa_a = _LEXICON[a].replace("ˈ", "").replace("ˌ", "")
-                ipa_b = _LEXICON[b].replace("ˈ", "").replace("ˌ", "")
+                ipa_b = ipa_b_marked.replace("ˈ", "").replace("ˌ", "")
                 return "ˈ" + ipa_a + "ˌ" + ipa_b
     return None
 
@@ -331,6 +365,584 @@ def _add_default_stress(ipa: str) -> str:
     return ipa[: start - onset] + "ˈ" + ipa[start - onset:]
 
 
+# ---------------------------------------------------------------------------
+# Template letter-to-sound (VERDICT r4 item #4b): suffix-family stress
+# templates with vowel reduction for the productive latinate / name /
+# compound vocabulary that dominates real OOV words. Tried before the
+# generic rule LTS; returns None when no template applies. Accuracy is
+# measured against the hand-transcribed golden fixture
+# tests/fixtures/en_lts_gold.tsv by tools/en_lts_accuracy.py.
+# Reference behavior: g2p_en's trained model fills this role for the
+# reference (/root/reference/text/english.py:100-122); this is the
+# dependency-free rule equivalent.
+# ---------------------------------------------------------------------------
+
+# neoclassical combining forms / transparent prefixes: (spelling, ipa with
+# its own secondary stress embedded, final-oʊ-reducible-before-primary)
+_COMBINING = [
+    ("electro", "ɪˌlɛktroʊ", False), ("thermo", "ˌθərmoʊ", True),
+    ("stereo", "ˌstɛrioʊ", False), ("hydro", "ˌhaɪdroʊ", True),
+    ("micro", "ˌmaɪkroʊ", True), ("macro", "ˌmækroʊ", True),
+    ("psycho", "ˌsaɪkoʊ", True), ("econo", "ɪˌkɑnoʊ", True),
+    ("quadra", "ˌkwɑdrə", False), ("mega", "ˌmɛgə", False),
+    ("tele", "ˌtɛlə", False), ("bio", "ˌbaɪoʊ", False),
+    ("geo", "ˌʤioʊ", False), ("circum", "ˌsərkəm", False),
+    ("counter", "ˌkaʊntər", False), ("under", "ˌəndər", False),
+    ("inter", "ˌɪntər", False), ("over", "ˌoʊvər", False),
+    ("trans", "ˌtrænz", False), ("mid", "ˌmɪd", False),
+    ("semi", "ˌsɛmi", False), ("multi", "ˌməlti", False),
+    ("tri", "traɪ", False),
+]
+
+# lexicalized reduced prefixes for unstressed word-initial position
+_PRE_REDUCED = [
+    ("con", "kən"), ("com", "kəm"), ("per", "pər"), ("pro", "prə"),
+    ("sub", "səb"), ("sur", "sər"), ("sus", "səs"), ("dis", "dɪs"),
+    ("ex", "ɪks"), ("de", "di"), ("re", "rɪ"), ("pre", "pri"),
+    ("in", "ɪn"), ("im", "ɪm"), ("en", "ɛn"), ("em", "ɛm"),
+]
+
+# tail-stressed suffixes: primary lives inside the tail IPA; the stem is
+# transcribed reduced with a secondary on its first vowel (>=2 stem vowels)
+_TAIL_STRESSED = [
+    ("ographer", "ˈɑgrəfər"), ("ographic", "əˈgræfɪk"),
+    ("ography", "ˈɑgrəfi"), ("ocracy", "ˈɑkrəsi"), ("ocratic", "əˈkrætɪk"),
+    ("ology", "ˈɑləʤi"), ("ologist", "ˈɑləʤɪst"), ("ometry", "ˈɑmətri"),
+    ("ometer", "ˈɑmətər"), ("escent", "ˈɛsənt"), ("escence", "ˈɛsəns"),
+    ("iferous", "ˈɪfərəs"), ("ectomy", "ˈɛktəmi"), ("osis", "ˈoʊsəs"),
+    ("itis", "ˈaɪtəs"), ("arium", "ˈɛriəm"), ("orium", "ˈɔriəm"),
+    ("arian", "ˈɛriən"), ("onian", "ˈoʊniən"), ("esque", "ˈɛsk"),
+    ("ential", "ˈɛnʃəl"), ("ention", "ˈɛnʃən"), ("ician", "ˈɪʃən"),
+    ("isian", "ˈɪʒən"), ("metric", "ˈmɛtrɪk"), ("phonic", "ˈfɑnɪk"),
+    ("tronic", "ˈtrɑnɪk"), ("genic", "ˈʤɛnɪk"), ("uity", "ˈuəti"),
+    ("ivity", "ˈɪvəti"), ("ality", "ˈæləti"), ("ese", "ˈiz"),
+    ("etical", "ˈɛtɪkəl"), ("itical", "ˈɪtɪkəl"), ("atical", "ˈætɪkəl"),
+    ("iloquent", "ˈɪləkwənt"), ("ocution", "oʊˈkjuʃən"),
+    ("etrical", "ˈɛtrɪkəl"), ("ational", "ˈeɪʃənəl"),
+    # last resort for -ation words the -ate chain can't derive
+    ("ation", "ˈeɪʃən"),
+]
+
+# stem-stressed suffixes: (spelling, tail ipa with optional secondary,
+# primary position = n vowels BEFORE the last stem vowel)
+_STEM_STRESSED = [
+    ("ating", "ˌeɪtɪŋ", 1), ("ated", "ˌeɪtɪd", 1), ("ator", "ˌeɪtər", 1),
+    ("ate", "ˌeɪt", 1), ("izing", "ˌaɪzɪŋ", 1), ("ized", "ˌaɪzd", 1),
+    ("izer", "ˌaɪzər", 1), ("ize", "ˌaɪz", 1), ("itude", "əˌtud", 0),
+    ("ite", "ˌaɪt", 1), ("ile", "ˌaɪl", 0), ("ible", "əbəl", 0),
+    ("able", "əbəl", 0), ("ment", "mənt", "verb"),
+    ("ington", "ɪŋtən", None), ("ton", "tən", None),
+    ("man", "mən", None), ("sley", "zli", None), ("ley", "li", None),
+]
+
+# compound second elements: value (ipa, pattern). pattern "first" = primary
+# on the first element (regular noun compounds); "second" = primary on the
+# tail (participial compounds: shortchanged, freewheeling)
+_COMPOUND_TAILS = {
+    "dale": ("ˌdeɪl", "first"), "field": ("ˌfild", "first"),
+    "stone": ("ˌstoʊn", "first"), "wood": ("ˌwʊd", "first"),
+    "berg": ("ˌbərg", "first"), "ville": ("ˌvɪl", "first"),
+    "smith": ("ˌsmɪθ", "first"), "smithing": ("ˌsmɪθɪŋ", "first"),
+    "smiths": ("ˌsmɪθs", "first"), "wright": ("ˌraɪt", "first"),
+    "wrights": ("ˌraɪts", "first"), "stick": ("ˌstɪk", "first"),
+    "sticks": ("ˌstɪks", "first"), "bone": ("ˌboʊn", "first"),
+    "load": ("ˌloʊd", "first"), "proofing": ("ˌprufɪŋ", "first"),
+    "working": ("ˌwərkɪŋ", "first"), "lighting": ("ˌlaɪtɪŋ", "first"),
+    "lighter": ("ˌlaɪtər", "first"), "lighters": ("ˌlaɪtərz", "first"),
+    "binding": ("ˌbaɪndɪŋ", "first"), "blowing": ("ˌbloʊɪŋ", "first"),
+    "surfing": ("ˌsərfɪŋ", "first"), "sailing": ("ˌseɪlɪŋ", "first"),
+    "seiling": ("ˌseɪlɪŋ", "first"),
+    "making": ("ˌmeɪkɪŋ", "first"), "carving": ("ˌkɑrvɪŋ", "first"),
+    "hole": ("ˌhoʊl", "first"), "holed": ("ˌhoʊld", "first"),
+    "holes": ("ˌhoʊlz", "first"), "side": ("ˌsaɪd", "first"),
+    "sided": ("ˌsaɪdɪd", "first"), "changed": ("ʧeɪnʤd", "second"),
+    "wheeling": ("wilɪŋ", "second"),
+}
+
+_V_LETTERS = "aeiouy"
+# single-vowel-letter qualities
+_V_CHECKED = {"a": "æ", "e": "ɛ", "i": "ɪ", "o": "ɑ", "u": "ə", "y": "ɪ"}
+_V_OPEN = {"a": "eɪ", "e": "i", "i": "aɪ", "o": "oʊ", "u": "ju", "y": "aɪ"}
+_V_DIGRAPH = {
+    "oo": "u", "ee": "i", "ea": "i", "ai": "eɪ", "ay": "eɪ", "oa": "oʊ",
+    "ou": "aʊ", "ow": "oʊ", "oi": "ɔɪ", "oy": "ɔɪ", "au": "ɔ", "aw": "ɔ",
+    "eu": "u", "ew": "u", "ie": "i", "ei": "eɪ", "ue": "u",
+}
+_CONS_MAP = [
+    ("tch", "ʧ"), ("dge", "ʤ"), ("ck", "k"), ("wh", "w"), ("wr", "r"),
+    ("kn", "n"), ("ph", "f"), ("sh", "ʃ"), ("ch", "ʧ"), ("th", "θ"),
+    ("gh", "g"), ("qu", "kw"), ("x", "ks"),
+]
+
+
+def _split_units(s: str) -> list[str]:
+    """Spelling -> alternating consonant-run / vowel-group units ('qu'
+    counts as a consonant so the u doesn't found a syllable)."""
+    s = s.replace("qu", "qw")
+    return re.findall(r"[aeiouy]+|[^aeiouy]+", s)
+
+
+def _cons_ipa(c: str, next_letter: str) -> str:
+    """Consonant run -> IPA, with soft c/g decided by the next letter."""
+    out = ""
+    i = 0
+    c = re.sub(r"([bcdfgklmnprstvz])\1", r"\1", c)
+    while i < len(c):
+        if c.startswith("ch", i) and i + 2 < len(c):
+            out += "k"  # greek ch before a consonant (techn-, chrono-)
+            i += 2
+            continue
+        for pat, rep in _CONS_MAP:
+            if c.startswith(pat, i):
+                out += rep
+                i += len(pat)
+                break
+        else:
+            ch = c[i]
+            nxt = c[i + 1] if i + 1 < len(c) else next_letter
+            if ch == "c":
+                out += "s" if nxt in "eiy" else "k"
+            elif ch == "g":
+                out += "ʤ" if nxt in "ey" else "g"
+            elif ch == "n" and nxt == "g":
+                out += "ŋ"
+                i += 2
+                # ng before a vowel keeps the g (angul -> æŋg)
+                if i >= len(c) and next_letter in _V_LETTERS:
+                    out += "g"
+                elif i < len(c):
+                    out += "g" if c[i] in _V_LETTERS or c[i] in "rl" else ""
+                continue
+            elif ch == "q":
+                out += "k"
+            elif ch == "j":
+                out += "ʤ"
+            else:
+                out += ch
+            i += 1
+    return out
+
+
+def _vowel_ipa(vg: str, stress: int, open_syl: bool, before_r: bool,
+               geminate_r: bool, prev_cons: str, next_is_vowel: bool,
+               next_cons: str = "", lax: bool = True,
+               is_first: bool = False) -> str:
+    """One vowel group -> IPA. stress: 2 primary, 1 secondary, 0 none,
+    3 = lone-vowel stem (full quality, caller omits the mark)."""
+    if before_r and len(vg) == 1:
+        # geminate_r carries the caller's full intervocalic-r determination
+        # (rr, or a lone r directly followed by a vowel)
+        intervocalic = geminate_r
+        if stress == 3:
+            if intervocalic:
+                return "ər"  # the r re-onsets the tail (pəˈrɪʒən, fəˈrɑ)
+            return {"a": "ɑr", "e": "ər", "i": "ər", "o": "ɔr",
+                    "u": "ər", "y": "ər"}[vg]
+        if stress >= 1:
+            # stressed r-colored keeps quality (ˌstɛr, ˈɑrlɪŋtən, ˌkɔri)
+            return {
+                "a": "ɛr" if intervocalic else "ɑr",
+                "e": "ɛr" if intervocalic else "ər",
+                "i": "ɪr" if intervocalic else "ər",
+                "o": "ɔr", "u": "ər", "y": "ər",
+            }[vg]
+        return "ər"  # unstressed r-colored reduces (pərˈsɛn, ˌdərmə)
+    if len(vg) >= 2 and vg[:2] in _V_DIGRAPH:
+        return _V_DIGRAPH[vg[:2]] + ("" if len(vg) == 2 else _V_CHECKED.get(vg[2], ""))
+    v = vg[0]
+    if v == "a" and prev_cons.endswith("w"):
+        return "ɑ"  # wa- (ˌwɑʃɪŋ, ˌkwɑdrə)
+    if stress == 3:
+        # lone-vowel stem before a stressed tail: full quality, no mark
+        # (tɛkˈnɑkrəsi, pluˈtɑkrəsi, faɪˈbroʊsəs, moʊˈdæləti, stəˈnɑ)
+        if open_syl:
+            if next_is_vowel and v in "ie":
+                return "i"  # hiatus (ˌθiəˈkrætɪk)
+            return {
+                "a": "æ", "e": "ə", "o": "oʊ",
+                "i": "aɪ" if len(next_cons) > 1 else "ɪ",
+                "y": "aɪ" if len(next_cons) > 1 else "ɪ",
+                "u": "u" if len(prev_cons) > 1 else "ju",
+            }[v]
+        return _V_CHECKED[v]
+    if stress == 2:
+        if not lax and open_syl:
+            # non-laxing suffixes (-ite, -ile) keep the reading vowel
+            # (ˈdoʊləˌmaɪt, ˈhiməˌtaɪt)
+            return {"a": "æ", "e": "i", "i": "aɪ", "o": "oʊ", "u": "ju",
+                    "y": "aɪ"}[v]
+        if v == "u" and open_syl:
+            return "u" if prev_cons.endswith(("l", "r")) else "ju"
+        # latinate primary: trisyllabic-laxing territory -> checked quality
+        return _V_CHECKED[v]
+    if stress == 1:
+        # secondary syllables keep full-ish quality; open a/e stay lax
+        # (ˌʤævə, ˌnɛpə) except e after a cluster onset (ˌkri'mə)
+        if open_syl:
+            return {"a": "æ",
+                    "e": "i" if len(prev_cons) > 1 else "ɛ",
+                    "i": "ɪ", "o": "oʊ", "u": "u", "y": "ɪ"}[v]
+        return _V_CHECKED[v]
+    # unstressed: reduce
+    if v in "iy" and next_cons.startswith("ng"):
+        return "ɪ"  # -ing- inside a stem (ˈwɑʃɪŋtən)
+    if v in "iy" and not open_syl and not next_is_vowel:
+        return "ɪ"  # closed unstressed i (ˈblændɪʃ, dɪs-)
+    if v in "iy" or (v == "e" and next_is_vowel):
+        return "i" if next_is_vowel else "ə"
+    if v == "u":
+        if prev_cons.endswith("t"):
+            return "ʧə"  # palatalization; caller strips the t/d letter
+        if prev_cons.endswith("d"):
+            return "ʤə"
+        if open_syl and not is_first:
+            if len(prev_cons) > 1 and prev_cons[-1] in "rl":
+                return "u"  # cluster onset keeps u (gru, plu)
+            if prev_cons:
+                return "jə"  # medial -Cul- territory (kjə, gjə, njə)
+        return "ə"
+    if v == "o" and open_syl and not prev_cons:
+        return "oʊ"  # hiatus / word-initial open o keeps quality (ˌstɛrioʊ)
+    return "ə"
+
+
+_ONSETS_FOR_MARK = _LEGAL_ONSETS | frozenset(
+    "b d f g h k l m n p r s t v w z ʃ ʧ ʤ θ ð ʒ j".split()
+)
+
+
+def _attach_marks(ipa: str) -> str:
+    """Re-seat each stress mark at its syllable boundary: of the full
+    intervocalic consonant cluster around the mark, the longest legal onset
+    becomes the stressed syllable's onset (ˈmægnətˌaɪt -> ˈmægnəˌtaɪt,
+    prɑmptəˈtud stays, ɪgˈzæk stays: gz is not a legal onset)."""
+    vowels = "aeiouɑæɛɪʊɔəʊ"
+    out = ipa
+    for mark in ("ˈ", "ˌ"):
+        while True:
+            i = out.find(mark)
+            pos = -1
+            while i != -1:
+                # A: consonants immediately before the mark
+                j = i
+                while j > 0 and out[j - 1] not in vowels and out[j - 1] not in "ˈˌ":
+                    j -= 1
+                # B: consonants after the mark up to the next vowel
+                k = i + 1
+                while k < len(out) and out[k] not in vowels and out[k] not in "ˈˌ":
+                    k += 1
+                cluster = out[j:i] + out[i + 1:k]
+                # longest legal suffix of the cluster = stressed onset;
+                # must include all of B (the mark never moves right)
+                onset = len(cluster)
+                min_onset = k - i - 1
+                while onset > min_onset and (
+                    onset > 0 and cluster[-onset:] not in _ONSETS_FOR_MARK
+                ):
+                    onset -= 1
+                new_pos = k - 1 - onset  # index of mark after removal
+                if new_pos != i:
+                    pos = i
+                    break
+                i = out.find(mark, i + 1)
+            if pos == -1:
+                break
+            s = out[:pos] + out[pos + 1:]
+            out = s[:new_pos] + mark + s[new_pos:]
+    return out
+
+
+def _tpl_transcribe_stem(stem: str, primary_vowel: int | None,
+                         tail_first_letter: str, secondary: bool = True,
+                         lax: bool = True) -> str | None:
+    """Transcribe a stem spelling with stress-conditioned vowel reduction.
+
+    primary_vowel: index (from 0) of the stem vowel group carrying primary
+    stress, or None for a fully-reduced stem. A secondary mark goes on the
+    first vowel when it is >=2 groups before the primary (or when the stem
+    is fully reduced with >=2 vowel groups and `secondary`).
+    """
+    units = _split_units(stem)
+    if not units:
+        return None
+    # hiatus splitting: i/u-initial vowel pairs are two syllables, not a
+    # digraph (tri.angul, gradu.al) — digraph spellings (ea, ie, ou...)
+    # stay fused via _V_DIGRAPH
+    split = []
+    for u in units:
+        if len(u) == 2 and u in ("ia", "io", "iu", "ua", "uo", "eo"):
+            split += [u[0], u[1]]
+        else:
+            split.append(u)
+    units = split
+    vgroups = [u for u in units if u[0] in _V_LETTERS]
+    n_v = len(vgroups)
+    if n_v == 0:
+        return None
+    # unstressed initial reduced prefix (rɪ-, di-, kən-): only when a later
+    # vowel carries the primary (fully-reduced stems keep their initial
+    # secondary instead: ˌkɑntrəˈvɛnʃən, ˌdərməˈtaɪtəs)
+    pre_ipa = ""
+    if primary_vowel is not None and primary_vowel != 0 and n_v >= 2:
+        for pre, ipa in _PRE_REDUCED:
+            if stem.startswith(pre) and any(
+                c in _V_LETTERS for c in stem[len(pre):]
+            ):
+                rest = stem[len(pre):]
+                if rest[0] in _V_LETTERS:
+                    break  # prefix must consume its whole vowel group
+                if pre == "ex":
+                    # the spelled s carries the /s/ (exsanguinate -> ɪk-s);
+                    # before c the c itself reads /k/ so keep ɪks (ex-cori)
+                    ipa = "ɪk" if rest[0] == "s" else "ɪks"
+                stem = rest
+                pre_ipa = ipa
+                units = _split_units(stem)
+                vgroups = [u for u in units if u[0] in _V_LETTERS]
+                n_v = len(vgroups)
+                primary_vowel -= 1
+                if n_v == 0 or primary_vowel < 0:
+                    return None
+                break
+
+    out = []
+    kinds = []  # parallel: "c" consonant run, "v" vowel
+    vi = 0
+    for ui in range(len(units)):
+        u = units[ui]
+        if not u:  # emptied by r-absorption
+            continue
+        if u[0] not in _V_LETTERS:
+            nxt = units[ui + 1][0] if ui + 1 < len(units) else tail_first_letter
+            if ui == len(units) - 1 and u.endswith("ch"):
+                u = u[:-2] + "k"  # greek stem-final ch (malach-, monarch-)
+            c_ipa = _cons_ipa(u, nxt or "a")
+            if out and kinds and kinds[-1] == "c" and c_ipa and \
+                    out[-1].endswith(c_ipa[0]):
+                c_ipa = c_ipa[1:]  # dedupe at prefix junction (ɪks + s...)
+            out.append(c_ipa)
+            kinds.append("c")
+            continue
+        # stress for this vowel group
+        if n_v == 1 and primary_vowel is None:
+            stress = 3  # lone-vowel stem: full quality, no mark
+        elif primary_vowel is not None and vi == primary_vowel:
+            stress = 2
+        elif vi == 0 and not pre_ipa and (
+            (primary_vowel is None and n_v >= 2 and secondary)
+            or (primary_vowel is not None and primary_vowel >= 2)
+        ):
+            stress = 1
+        else:
+            stress = 0
+        # openness: a following single consonant or legal onset cluster
+        # leaves the syllable open (fi.brosis, na.vig)
+        following = units[ui + 1] if ui + 1 < len(units) else ""
+        if following and following[0] in _V_LETTERS:
+            following = ""
+        fol_dedup = re.sub(r"(.)\1", r"\1", following)
+        open_syl = len(fol_dedup) <= 1 or fol_dedup in _LEGAL_ONSETS
+        before_r = bool(following) and following[0] == "r"
+        geminate_r = following.startswith("rr")
+        mark = {3: "", 2: "ˈ", 1: "ˌ", 0: ""}[stress]
+        if before_r and len(u) == 1:
+            # r-colored vowel; the emitted quality carries the r. The r is
+            # intervocalic when nothing but it stands before the next vowel
+            nxt_v = (
+                (ui + 1 == len(units) - 1 and tail_first_letter in _V_LETTERS)
+                or (ui + 2 < len(units) and bool(units[ui + 2])
+                    and units[ui + 2][0] in _V_LETTERS)
+            )
+            intervocalic = geminate_r or (len(following) == 1 and nxt_v)
+            out.append(mark + _vowel_ipa(
+                u, stress, open_syl, True, intervocalic, "", nxt_v,
+            ))
+            kinds.append("r")  # the r lives in the vowel; next vowel is
+            units[ui + 1] = following[2:] if geminate_r else following[1:]
+            vi += 1            # post-consonantal, not hiatus
+            continue
+        if out and kinds and kinds[-1] == "c":
+            prev_cons = out[-1]
+        elif kinds and kinds[-1] == "r":
+            prev_cons = "r"
+        else:
+            prev_cons = ""
+        prev_cons = prev_cons.lstrip("ˈˌ")
+        next_is_vowel = (ui + 1 >= len(units) and tail_first_letter in _V_LETTERS) or (
+            ui + 1 < len(units) and bool(units[ui + 1]) and units[ui + 1][0] in _V_LETTERS
+        )
+        q = _vowel_ipa(u, stress, open_syl, False, False, prev_cons,
+                       next_is_vowel, next_cons=following, lax=lax,
+                       is_first=vi == 0)
+        # palatalized tu/du swallow the preceding consonant's letter
+        if q in ("ʧə", "ʤə") and out and out[-1] and out[-1][-1] in "td":
+            out[-1] = out[-1][:-1]
+        out.append(mark + q)
+        kinds.append("v")
+        vi += 1
+    return pre_ipa + "".join(out)
+
+
+def _tpl_stem_ipa(stem: str) -> str | None:
+    """Stem via lexicon (real stress) or reduced-prefix + lexicon rest."""
+    if len(stem) < 4:
+        return None
+    hit = _LEXICON.get(stem) or _lexicon_base(stem)
+    if hit:
+        return hit
+    for pre, ipa in _PRE_REDUCED:
+        if stem.startswith(pre):
+            rest = stem[len(pre):]
+            rest_hit = _LEXICON.get(rest)
+            if rest_hit and sum(
+                1 for u in _split_units(rest) if u[0] in _V_LETTERS
+            ) >= 2:
+                return ipa + rest_hit
+    return None
+
+
+# irregular famous stems the syllable engine cannot derive (kept tiny on
+# purpose: broad coverage belongs to the rules, not this table)
+_STEM_OVERRIDES = {"ocean": "ˌoʊʃən", "chore": "ˌkɔri", "radi": "ˌreɪdi"}
+
+_CHAIN_TAIL = re.compile(r"ˌ([^ˈˌ]*?)(eɪt|aɪz)$")
+
+
+def _template_lts(word: str, depth: int = 0) -> str | None:
+    """Suffix/prefix-template transcription; None when nothing applies."""
+    if depth > 2 or len(word) < 5:
+        return None
+    # 1. combining prefixes with a resolvable remainder
+    for pre, ipa, reducible in _COMBINING:
+        if word.startswith(pre) and len(word) - len(pre) >= 3:
+            rest = word[len(pre):]
+            hit = _lexicon_lookup(rest) or _template_lts(rest, depth + 1)
+            if hit is None:
+                # bare stress-bearing suffix as the whole remainder
+                # (telephonic = tele + phonic)
+                for suf, tail in _TAIL_STRESSED:
+                    if rest == suf:
+                        hit = tail
+                        break
+            if hit and any(v in hit for v in "ɑæɛɪiʊuɔəoa"):
+                if pre in ("semi", "multi") and sum(
+                    c in "ɑæɛɪiʊuɔəoa" for c in hit
+                ) <= 3:
+                    # short rest: compound-noun pattern, primary on the
+                    # prefix (ˈsɛmiˌkoʊlən, ˈməltiˌkələrd)
+                    return _attach_marks(
+                        "ˈ" + ipa.lstrip("ˌ")
+                        + "ˌ" + hit.replace("ˈ", "").replace("ˌ", "")
+                    )
+                if "ˈ" not in hit:
+                    hit = "ˈ" + hit
+                p = ipa
+                if reducible and p.endswith("oʊ") and hit.startswith("ˈ"):
+                    p = p[:-2] + "ə"
+                return p + hit
+    # 2. -ization / -ation via the derivational chain (-ize / -ate base):
+    # demote the base's primary, the old ˌeɪt/ˌaɪz syllable reduces, the
+    # suffix takes the primary (həˈmɑʤəˌnaɪz -> həˌmɑʤənəˈzeɪʃən)
+    for suf, base_suf, repl in (
+        ("izations", "ize", "əˈzeɪʃənz"), ("ization", "ize", "əˈzeɪʃən"),
+        ("ations", "ate", "ˈeɪʃənz"), ("ation", "ate", "ˈeɪʃən"),
+    ):
+        if word.endswith(suf) and len(word) - len(suf) >= 3:
+            if word[: -len(suf)] in _LEXICON:
+                # a bare lexicon verb + -ation is stem+ˈeɪʃən directly
+                # (protestation), not the -ate derivational pattern
+                break
+            base = _template_lts(word[: -len(suf)] + base_suf, depth + 1)
+            m = _CHAIN_TAIL.search(base) if base else None
+            if m:
+                core = base[: m.start()].replace("ˈ", "ˌ", 1)
+                return _attach_marks(core + m.group(1) + repl)
+    # 3. tail-stressed suffixes: reduced stem + secondary on its first vowel
+    for suf, tail in _TAIL_STRESSED:
+        if word.endswith(suf) and len(word) - len(suf) >= 2:
+            stem = word[: -len(suf)]
+            if not any(c in _V_LETTERS for c in stem):
+                continue
+            stem_ipa = _STEM_OVERRIDES.get(stem) or _tpl_transcribe_stem(
+                stem, None, suf[0]
+            )
+            if stem_ipa is None:
+                continue
+            if ("ˈ" not in stem_ipa and "ˌ" not in stem_ipa
+                    and not tail.startswith("ˈ")):
+                # lone-vowel stem + pretonic tail syllable: the rhythm rule
+                # puts a secondary on the stem (ˌmɑnəˈkrætɪk, ˌkrɪptəˈgræfɪk)
+                stem_ipa = "ˌ" + stem_ipa
+            return _attach_marks(stem_ipa + tail)
+    # 4. stem-stressed suffixes
+    for suf, tail, n in _STEM_STRESSED:
+        if word.endswith(suf) and len(word) - len(suf) >= 3:
+            stem = word[: -len(suf)]
+            vcount = sum(1 for u in _split_units(stem) if u[0] in _V_LETTERS)
+            if vcount == 0:
+                continue
+            lax = suf[:3] not in ("ite", "ile")  # -ite/-ile keep long vowels
+            if n == "verb":
+                # stress-neutral suffix on a verb base: primary on the
+                # first post-prefix vowel (dɪsˈbərsmənt, rɪˈplɛnɪʃmənt)
+                stem = re.sub(r"([bcdfgklmnprstvz])e$", r"\1", stem)
+                pre_ipa = ""
+                for pre, p_ipa in _PRE_REDUCED:
+                    if stem.startswith(pre):
+                        rest = stem[len(pre):]
+                        if rest and rest[0] not in _V_LETTERS and any(
+                            c in _V_LETTERS for c in rest
+                        ):
+                            stem, pre_ipa = rest, p_ipa
+                            break
+                body = _tpl_transcribe_stem(stem, 0, suf[0], lax=lax)
+                stem_ipa = pre_ipa + body if body else None
+            else:
+                stem_ipa = _tpl_stem_ipa(stem) if n is not None else None
+                if stem_ipa is not None and suf[0] in "ai":
+                    # -ulate/-ulator reduction of a lexicon stem's final u
+                    # (granule + -ated -> grænjəl, module -> mɑʤəl)
+                    stem_ipa = re.sub(r"([jʤʧ])u(l?)$", r"\1ə\2", stem_ipa)
+                if stem_ipa is None:
+                    if n is None or vcount - 1 - n < 0:
+                        pv = 0  # name suffixes / short stems: initial stress
+                    else:
+                        pv = vcount - 1 - n
+                    stem_ipa = _tpl_transcribe_stem(stem, pv, suf[0], lax=lax)
+            if stem_ipa is None:
+                continue
+            if "ˈ" not in stem_ipa:
+                stem_ipa = "ˈ" + stem_ipa
+            return _attach_marks(stem_ipa + tail)
+    # 5. compound tails
+    for tail_sp, (tail_ipa, pattern) in _COMPOUND_TAILS.items():
+        if word.endswith(tail_sp) and len(word) - len(tail_sp) >= 3:
+            first = word[: -len(tail_sp)]
+            hit = _LEXICON.get(first) or _lexicon_base(first)
+            if hit is None:
+                n_first_v = sum(1 for c in first if c in _V_LETTERS)
+                if n_first_v == 1 or (
+                    n_first_v == 2 and re.search(r"[^aeiouy]e$", first)
+                ):
+                    # monosyllables incl. silent-e spellings (lode, wain):
+                    # the generic LTS has the magic-e machinery
+                    hit = _letter_to_sound(first)
+                else:
+                    hit = _tpl_transcribe_stem(first, 0, tail_sp[0])
+            if hit is None or not any(v in hit for v in "aeiouɑæɛɪʊɔə"):
+                continue
+            hit = hit.replace("ˌ", "").replace("ˈ", "")
+            # marks never migrate across the compound boundary
+            # (lamp.lighters, wood.working), so attach within the first
+            # element only and concatenate the tail verbatim
+            if pattern == "second":
+                # participial compounds stress the second element
+                # (ˌʃɔrtˈʧeɪnʤd, ˌfriˈwilɪŋ)
+                return _attach_marks("ˌ" + hit) + "ˈ" + tail_ipa.lstrip("ˌ")
+            return _attach_marks("ˈ" + hit) + tail_ipa
+    return None
+
+
 def _letter_to_sound(word: str) -> str:
     """Rule-of-thumb grapheme-to-phoneme; last resort for OOV words."""
     out = ""
@@ -343,11 +955,13 @@ def _letter_to_sound(word: str) -> str:
         w = ("zI" + w[2:]) if w.startswith("xy") else ("z" + w[1:])
     if w.startswith(("gn", "ps", "pn", "mn")) and len(w) > 3:
         w = w[1:]  # silent initial letter (gnome, pseudo, pneumonia)
+    # syllabic-l spellings: final -Cle reads /Cəl/ (handle, hornswoggle)
+    w = re.sub(r"([bcdfgkpstz])le$", r"\1əl", w)
     if w.startswith("mc"):
         w = "mək" + w[2:]  # mcdonald, mcguffin
     if w.endswith("ture") and len(w) > 4:
         # handle before the magic-e strip would turn it into tUr -> tjur
-        return _add_default_stress(_letter_to_sound(w[:-4]) + "ʧəɹ")
+        return _add_default_stress(_letter_to_sound(w[:-4]) + "ʧər")
     # silent final e lengthens the previous vowel (magic e: blaze -> bleɪz,
     # glide -> glaɪd); uppercase marks the long vowel for the rule table.
     # Keep the e after soft c/g so the dge/ce/ge rules fire (bridge, office)
