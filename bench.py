@@ -96,6 +96,70 @@ def _bench_infer(model, params, b, tx, max_frames, sr, hop, n_iter=10):
     return true_sec / elapsed, padded_sec / elapsed, true_sec2 / elapsed2
 
 
+# realistic mixed-CJE serving workload (VERDICT r4 item #5): tagged text
+# through the REAL serving path — g2p, text-bucket selection, frame-budget
+# escalation, jitted synthesis (serve/engine.py). Sentence lengths span the
+# 128 and 256 text buckets and the 512/1000 frame buckets.
+_ENGINE_SENTS = [
+    ("[ZH]今天天气很好,我们一起去公园散步吧。[ZH]", 0),
+    ("[JA]今日はいい天気ですね。散歩に行きましょう。[JA]", 2),
+    ("[JA]明日の会議は午後三時からです。[JA]", 3),
+    ("[EN]The weather is lovely today, let's take a walk in the park.[EN]", 4),
+    ("[EN]Could you tell me how to get to the nearest station?[EN]", 0),
+    ("[ZH]科技的发展改变了我们的生活方式。[ZH]", 1),
+    ("[JA]音声合成の品質は年々良くなっています。[JA]", 2),
+    ("[EN]Speech synthesis quality improves every single year.[EN]", 3),
+    ("[ZH]祝你生日快乐,万事如意![ZH]", 4),
+    ("[EN]Thank you very much for your help yesterday.[EN]", 0),
+    ("[JA]駅までの道を教えてください。[JA]", 1),
+]
+
+
+def _bench_engine():
+    """End-to-end serving numbers through TTSEngine + DynamicBatcher.
+
+    Returns (engine_rtf, p50_ms, p95_ms, batcher_rtf):
+      engine_rtf  - true-audio seconds per wall second, sequential requests
+                    through TTSEngine.synthesize (g2p -> bucket -> synth)
+      p50/p95_ms  - per-request latency percentiles of that loop
+      batcher_rtf - true-audio throughput with 44 concurrent requests
+                    through DynamicBatcher (max_batch 8, vmapped program)
+    """
+    from vits_tpu.serve.batcher import DynamicBatcher
+    from vits_tpu.serve.engine import TTSEngine
+
+    engine = TTSEngine("configs/config_cje.yaml", None, max_frames=1000)
+    # warm every (text-bucket, frame-bucket) program incl. the batch path
+    for i, (s, spk) in enumerate(_ENGINE_SENTS):
+        engine.synthesize(s, spk, seed=i)
+    engine.synthesize_batch(
+        [dict(text=s, speaker_id=spk, seed=i)
+         for i, (s, spk) in enumerate(_ENGINE_SENTS)]
+    )
+
+    lat = []
+    audio_sec = 0.0
+    for i, (s, spk) in enumerate(_ENGINE_SENTS * 2):
+        t0 = time.perf_counter()
+        _, (sr, wav) = engine.synthesize(s, spk, seed=100 + i)
+        lat.append(time.perf_counter() - t0)
+        audio_sec += len(wav) / sr
+    engine_rtf = audio_sec / sum(lat)
+    p50, p95 = np.percentile(lat, [50, 95])
+
+    batcher = DynamicBatcher(engine, max_batch=8, max_wait_ms=5.0)
+    reqs = [(s, spk) for s, spk in _ENGINE_SENTS * 4]
+    t0 = time.perf_counter()
+    futs = [
+        batcher.submit(s, spk, seed=200 + i)
+        for i, (s, spk) in enumerate(reqs)
+    ]
+    audio2 = sum(len(f.result()[1]) / engine.sampling_rate for f in futs)
+    batcher_rtf = audio2 / (time.perf_counter() - t0)
+    batcher.close()
+    return engine_rtf, p50 * 1e3, p95 * 1e3, batcher_rtf
+
+
 def _bench_train(hps, n_iter=30, batch_size=32):
     """Batch 32 is the measured single-chip throughput sweet spot
     (README batch-scaling row: +19% audio-s/s and ~27% MFU over batch 16's
@@ -242,6 +306,12 @@ def main():
         "frontend_g2p_ms": round(g2p_ms, 2),
         "device": jax.devices()[0].device_kind,
     }
+    if not os.environ.get("VITS_BENCH_SKIP_ENGINE"):
+        engine_rtf, p50_ms, p95_ms, batcher_rtf = _bench_engine()
+        out["engine_rtf"] = round(engine_rtf, 3)
+        out["engine_p50_ms"] = round(p50_ms, 1)
+        out["engine_p95_ms"] = round(p95_ms, 1)
+        out["engine_batcher_rtf"] = round(batcher_rtf, 3)
     if not os.environ.get("VITS_BENCH_SKIP_TRAIN"):
         steps_per_sec, mfu, flops, hbm = _bench_train(hps)
         out["train_steps_per_sec"] = round(steps_per_sec, 3)

@@ -55,6 +55,18 @@ def test_driver_invocation_fresh_subprocess(tmp_path):
     )
     assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
     assert "dryrun_multichip(8): ok" in proc.stdout
+    # Warm-load AOT hygiene (round-5 postmortem in __graft_entry__): the
+    # ONLY tolerated cpu_aot_loader complaint is the documented loader
+    # false positive on XLA's own prefer-no-gather/-scatter TUNING
+    # features. Any other machine-feature mismatch (a genuine ISA
+    # difference = a foreign or stale artifact) fails here.
+    bad = [
+        line for line in proc.stderr.splitlines()
+        if "cpu_aot_loader" in line
+        and "prefer-no-gather" not in line
+        and "prefer-no-scatter" not in line
+    ]
+    assert not bad, bad[:3]
 
 
 def test_compile_cache_dir_is_host_fingerprinted(monkeypatch, tmp_path):

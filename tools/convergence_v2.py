@@ -261,12 +261,20 @@ def _ckpt_metrics(model, g_params, batch, gt_durs):
     mas_durs = np.asarray(mas_durs)
     sdp_durs = np.asarray(sdp_durs)
     true_durs = np.asarray(true_durs, np.float64)
+
+    def _r(a, b):
+        # zero-variance predictions (untrained SDP emits a constant) have
+        # no defined correlation; report None, not NaN (invalid JSON)
+        if np.std(a) < 1e-9:
+            return None
+        return float(np.corrcoef(a, b)[0, 1])
+
     return {
-        "dur_loss": float(l_length),
+        "dur_loss": float(jnp.sum(l_length)),
         "mas_frame_acc": correct / total,
         "mas_boundary_mae": float(np.mean(boundary_err)),
-        "r_mas": float(np.corrcoef(mas_durs, true_durs)[0, 1]),
-        "r_sdp": float(np.corrcoef(sdp_durs, true_durs)[0, 1]),
+        "r_mas": _r(mas_durs, true_durs),
+        "r_sdp": _r(sdp_durs, true_durs),
     }
 
 
@@ -311,11 +319,14 @@ def _plot(rows: list[dict], workdir: str) -> None:
         ("mas_boundary_mae", "MAS boundary MAE (frames)", None),
         ("r_sdp", "Pearson r: predicted vs true durations", (-0.2, 1)),
     ]
+    def _series(key):
+        pts = [(s, r[key]) for s, r in zip(steps, rows) if r[key] is not None]
+        return [p[0] for p in pts], [p[1] for p in pts]
+
     for ax, (key, title, ylim) in zip(axes, panels):
-        ax.plot(steps, [r[key] for r in rows], marker="o")
+        ax.plot(*_series(key), marker="o")
         if key == "r_sdp":
-            ax.plot(steps, [r["r_mas"] for r in rows], marker="s",
-                    label="MAS-extracted")
+            ax.plot(*_series("r_mas"), marker="s", label="MAS-extracted")
             ax.legend(["SDP-predicted", "MAS-extracted"], fontsize=8)
         ax.set_title(title, fontsize=9)
         ax.set_xlabel("step")

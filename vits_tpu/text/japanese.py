@@ -306,7 +306,9 @@ def _verb_forms_add(surf_stem, read_stem, te, nai_row, acc):
 
 
 def _tai_forms_add(surf_istem, read_istem, acc):
-    for _sfx, _back in (("たい", 2), ("たくない", 2), ("たかった", 4),
+    # accented verbs put the たい-form nucleus on た (のみた↓い, OJAD),
+    # i.e. one mora later than the stem-final placement this used to emit
+    for _sfx, _back in (("たい", 1), ("たくない", 2), ("たかった", 4),
                         ("たくて", 3)):
         _r = read_istem + _sfx
         _a = acc if acc in (None, 0) else _moras_len(_r) - _back
@@ -663,6 +665,41 @@ _H_TO_P = {"は": "ぱ", "ひ": "ぴ", "ふ": "ぷ", "へ": "ぺ", "ほ": "ぽ"}
 _H_TO_B = {"は": "ば", "ひ": "び", "ふ": "ぶ", "へ": "べ", "ほ": "ぼ"}
 
 
+# counters whose numeral compounds take the accent nucleus on the
+# numeral's last accentable mora (い↓っぽん, に↓はい, じゅ↓っさい, ろ↓っこ,
+# じゅうご↓ふん, さ↓んじ). 人 is special (accent on the counter's first
+# mora: さんに↓ん, ひと↓り); everything else (円, 年, 日, 時間...) keeps
+# the existing heiban default, which matches ごひゃくえん / にせんねん.
+_ACCENTED_COUNTERS = set("本杯歳才個分匹時")
+
+
+def _counter_accent(counter: str, read: str) -> int | None:
+    """Tokyo accent nucleus for a numeral+counter reading, or None for
+    heiban (round-5 fixture systematics: 二杯/十歳/六個/十五分 read flat)."""
+    base = _COUNTERS.get(counter) or _COUNTERS2.get(counter)
+    if base is None:
+        return None
+    moras = _kana_moras(read)
+    n_num = len(moras) - len(_kana_moras(base))
+    if n_num <= 0:
+        return None
+    if counter == "人":
+        return n_num + 1
+    if counter not in _ACCENTED_COUNTERS:
+        return None
+    k = n_num
+    while k > 0 and moras[k - 1] in ("っ", "ん", "ー"):
+        k -= 1
+    return k or None
+
+
+def _counter_token(digits: str, counter: str, suffix: str = ""):
+    """("num", reading, accent) token for a numeral+counter (+はん)."""
+    read = _counter_reading(digits, counter)
+    acc = None if suffix else _counter_accent(counter, read)
+    return ("num", read + suffix, acc)
+
+
 def _counter_reading(digits: str, counter: str) -> str:
     if (digits, counter) in _COUNTER_IRREGULAR:
         return _COUNTER_IRREGULAR[(digits, counter)]
@@ -831,42 +868,34 @@ def _segment(chunk: str) -> list[tuple[str, str, int | None]]:
                 digits_g = str(val)
                 if (jg < n and chunk[jg] in _COUNTERS
                         and chunk[jg] not in _KANJI_GROUP):
-                    relax(jg + 1, 1.0,
-                          ("num", _counter_reading(digits_g, chunk[jg]), None))
+                    relax(jg + 1, 1.0, _counter_token(digits_g, chunk[jg]))
                 relax(jg, 1.1, ("num", _number_to_kana(digits_g), None))
             if chunk[j:j + 2] in _COUNTERS2 and chunk[i:j + 2] not in _WORDS:
-                relax(j + 2, 0.95,
-                      ("num", _counter_reading(digits, chunk[j:j + 2]), None))
+                relax(j + 2, 0.95, _counter_token(digits, chunk[j:j + 2]))
                 if chunk[j + 2:j + 3] == "半":  # 2時間半 -> にじかんはん
                     relax(j + 3, 0.93,
-                          ("num", _counter_reading(digits, chunk[j:j + 2])
-                           + "はん", None))
+                          _counter_token(digits, chunk[j:j + 2], "はん"))
             if j < n and chunk[j] in _COUNTERS and chunk[i:j + 1] not in _WORDS:
-                relax(j + 1, 1.0, ("num", _counter_reading(digits, chunk[j]), None))
+                relax(j + 1, 1.0, _counter_token(digits, chunk[j]))
                 if chunk[j + 1:j + 2] == "半":  # 3年半 -> さんねんはん
                     relax(j + 2, 0.98,
-                          ("num", _counter_reading(digits, chunk[j])
-                           + "はん", None))
+                          _counter_token(digits, chunk[j], "はん"))
             relax(j, 1.2, ("num", _number_to_kana(digits), None))
         elif _is_kanji(ch):
             val, j = _parse_kanji_number(chunk, i)
             if val is not None and j > i:
                 digits = str(val)
                 if chunk[j:j + 2] in _COUNTERS2 and chunk[i:j + 2] not in _WORDS:
-                    relax(j + 2, 0.95,
-                          ("num", _counter_reading(digits, chunk[j:j + 2]), None))
+                    relax(j + 2, 0.95, _counter_token(digits, chunk[j:j + 2]))
                     if chunk[j + 2:j + 3] == "半":  # 二時間半
                         relax(j + 3, 0.93,
-                              ("num", _counter_reading(digits, chunk[j:j + 2])
-                               + "はん", None))
+                              _counter_token(digits, chunk[j:j + 2], "はん"))
                 if (j < n and chunk[j] in _COUNTERS
                         and chunk[i:j + 1] not in _WORDS):
-                    relax(j + 1, 1.0,
-                          ("num", _counter_reading(digits, chunk[j]), None))
+                    relax(j + 1, 1.0, _counter_token(digits, chunk[j]))
                     if chunk[j + 1:j + 2] == "半":  # 三年半
                         relax(j + 2, 0.98,
-                              ("num", _counter_reading(digits, chunk[j])
-                               + "はん", None))
+                              _counter_token(digits, chunk[j], "はん"))
                 relax(j, 1.2, ("num", _number_to_kana(digits), None))
             if ch in _CHAR_READINGS:
                 relax(i + 1, 1.8, ("kanji", _CHAR_READINGS[ch], None))
